@@ -1,0 +1,8 @@
+import os
+
+# Tests run on CPU with 8 virtual devices so multi-chip sharding paths are exercised
+# without TPU hardware (the driver's dryrun_multichip uses the same mechanism).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
