@@ -1,0 +1,373 @@
+"""Boundary handlers: semi-analytic SDF (Winchenbach 2020), particle-based (Akinci), none.
+
+Reference parity: boundary_handler/mod.rs (trait + dispatch),
+boundary_winchenbach2020.rs (lambda/penalty/accel/divergence/aii),
+particle_boundary_handler.rs (pseudo-masses, boundary neighbor sums).
+
+Design: each handler owns static geometry (Python-side) and produces a per-step
+`BoundaryTerms` pytree from (position, h). All downstream physics consumes only
+BoundaryTerms — the dispatch is resolved at trace time (static), mirroring
+enum_dispatch (boundary_handler/mod.rs:155-160).
+
+For the particle handler, boundary particles are static: their cell grid, sorted ids
+and pseudo-masses Psi_b = rho0 / sum W_bb' (IISPH section 4) are precomputed on the
+host once (the reference recomputes only when the global h changes,
+particle_boundary_handler.rs:86-90; h is fixed per run here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import boundary_lambda as bl
+from ..ops import kernels
+from ..ops import sdf as sdf_mod
+from ..utils.params import (
+    BoundaryPenaltyTerm,
+    OperatorDiscretization,
+    ParticleSizes,
+    SimulationParams,
+)
+
+
+from flax import struct
+
+
+@struct.dataclass
+class BoundaryTerms:
+    """Per-step boundary quantities consumed by the physics sweeps.
+
+    For the SDF handler (S = number of SDF shapes):
+      lam      : (C, S) lambda * penalty                (boundary_winchenbach2020.rs:140)
+      grad_lam : (C, S, D) gradient incl. penalty        (:141-142)
+      lam_mask : (C, S) contact validity (d < 1 and well-defined gradient)
+      sdf_min_dist : (C,) distance to the nearest boundary (sdf probes)
+
+    For the particle handler (KB = boundary neighbors per fluid particle):
+      bidx  : (C, KB) boundary-particle indices
+      bmask : (C, KB)
+      bpos  : (B, D) boundary positions;  bpsi: (B,) pseudo-masses
+      min_bdist: (C,) distance to the nearest boundary neighbor
+    """
+
+    kind: str = struct.field(pytree_node=False)
+    lam: Optional[jnp.ndarray] = None
+    grad_lam: Optional[jnp.ndarray] = None
+    lam_mask: Optional[jnp.ndarray] = None
+    sdf_min_dist: Optional[jnp.ndarray] = None
+    bidx: Optional[jnp.ndarray] = None
+    bmask: Optional[jnp.ndarray] = None
+    bpos: Optional[jnp.ndarray] = None
+    bpsi: Optional[jnp.ndarray] = None
+    min_bdist: Optional[jnp.ndarray] = None
+
+
+# ---------------------------------------------------------------------------
+# No boundary
+
+
+@dataclasses.dataclass(frozen=True)
+class NoBoundaryHandler:
+    def update_after_advect(self, position, h, params: SimulationParams) -> BoundaryTerms:
+        return BoundaryTerms(kind="none")
+
+
+# ---------------------------------------------------------------------------
+# Semi-analytic SDF boundary (Winchenbach 2020)
+
+
+def _penalty(d, term: BoundaryPenaltyTerm):
+    """Penalty gamma(d) and gamma'(d) (boundary_winchenbach2020.rs:84-128)."""
+    if term == BoundaryPenaltyTerm.NoPenalty:
+        return jnp.ones_like(d), jnp.zeros_like(d)
+    if term == BoundaryPenaltyTerm.Linear:
+        return 1.0 - d, -jnp.ones_like(d)
+    if term == BoundaryPenaltyTerm.Quadratic1:
+        p = jnp.where(d > 0.0, 1.0, jnp.where(d > -1.0, 0.5 * d * d + 1.0, 0.5 - d))
+        dp = jnp.where(d > 0.0, 0.0, jnp.where(d > -1.0, d, -1.0))
+        return p, dp
+    if term == BoundaryPenaltyTerm.Quadratic2:
+        p = jnp.where(d > 0.0, 1.0, jnp.where(d > -0.5, d * d + 1.0, 0.75 - d))
+        dp = jnp.where(d > 0.0, 0.0, jnp.where(d > -0.5, 2.0 * d, -1.0))
+        return p, dp
+    raise ValueError(term)
+
+
+@dataclasses.dataclass(frozen=True)
+class WinchenbachBoundary:
+    """SDF shapes are static geometry; per-step lambda terms are traced."""
+
+    sdfs: tuple  # tuple of SdfPlane / SdfPolygon2D
+
+    def update_after_advect(self, position, h, params: SimulationParams) -> BoundaryTerms:
+        """lambda + grad(lambda) per particle x SDF (boundary_winchenbach2020.rs:58-152)."""
+        C, D = position.shape
+        sr = h * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+        if params.particle_sizes == ParticleSizes.Uniform:
+            sr = jnp.full_like(h, params.h * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH)
+
+        dist = sdf_mod.probe_all(self.sdfs, position)  # (C, S)
+        d = dist / sr[:, None]
+
+        grad = sdf_mod.gradient_all(self.sdfs, position, params.sdf_gradient_eps)  # (C, S, D)
+        grad_norm = jnp.linalg.norm(grad, axis=-1)
+        grad_ok = grad_norm >= 1e-5
+        grad_unit = grad / jnp.maximum(grad_norm, 1e-5)[..., None]
+
+        in_contact = (d < 1.0) & grad_ok
+
+        pen, dpen = _penalty(d, params.boundary_penalty_term)
+
+        lam_t, dlam_t = bl.lut_tables()
+        lam_lut = bl.lut_lookup(lam_t, d)
+        dlam_lut = bl.lut_lookup(dlam_t, d)
+        # d <= -1: fully submerged -> lambda=1, dlambda=0 (boundary_winchenbach2020.rs:132-138)
+        lam = jnp.where(d <= -1.0, 1.0, lam_lut)
+        dlam = jnp.where(d <= -1.0, 0.0, dlam_lut)
+
+        lam_pen = lam * pen
+        grad_lam_pen = grad_unit / sr[:, None, None] * (dpen * lam + pen * dlam)[..., None]
+
+        lam_pen = jnp.where(in_contact, lam_pen, 0.0)
+        grad_lam_pen = jnp.where(in_contact[..., None], grad_lam_pen, 0.0)
+
+        return BoundaryTerms(
+            kind="sdf",
+            lam=lam_pen,
+            grad_lam=grad_lam_pen,
+            lam_mask=in_contact,
+            sdf_min_dist=jnp.min(dist, axis=-1),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Particle-based boundary (Akinci-style; uniform sizes only, like the reference)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleBoundaryStatic:
+    """Host-side precomputed boundary data (static geometry, fixed global h)."""
+
+    positions: np.ndarray  # (B, D) f32
+    psi: np.ndarray  # (B,) pseudo-masses
+    sorted_cell_ids: np.ndarray  # (B,) int32
+    order: np.ndarray  # (B,) int32
+    dom_min: np.ndarray  # (D,)
+    width: int
+    cell: float
+    kb: int  # boundary neighbors per fluid particle
+    max_per_cell: int
+
+
+def build_particle_boundary(
+    boundary_positions: np.ndarray, params: SimulationParams, kb: int = 32, max_per_cell: int = 16
+) -> "ParticleBoundaryHandler":
+    """Precompute pseudo-masses and the static boundary cell grid.
+
+    Pseudo-masses: Psi_b = rho0 / sum_b' W(x_bb', h) over boundary-boundary neighbors
+    (particle_boundary_handler.rs:49-72).
+    """
+    assert params.particle_sizes == ParticleSizes.Uniform, (
+        "Akinci boundary + adaptive sizes is unimplemented!() in the reference "
+        "(particle_boundary_handler.rs:94-98)"
+    )
+    bp = np.asarray(boundary_positions, dtype=np.float32)
+    B = bp.shape[0]
+    sr = params.h * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+
+    # boundary-boundary number density (host, exact O(B^2) is fine at init: B ~ 1e3-1e4)
+    diff = bp[:, None, :] - bp[None, :, :]
+    r = np.sqrt((diff**2).sum(-1))
+    w = np.asarray(kernels.kernel_w(r, params.h, dim=bp.shape[1]))
+    w[r >= sr] = 0.0
+    number_density = w.sum(1)
+    psi = params.rest_density / number_density
+
+    cell = sr
+    dom_min = bp.min(0) - 2 * cell
+    ci = np.floor((bp - dom_min) / cell).astype(np.int32) + 1
+    width = int(ci[:, 0].max()) + 3
+    cid = ci[:, 0] + ci[:, 1] * width
+    order = np.argsort(cid, kind="stable").astype(np.int32)
+    sorted_ids = cid[order].astype(np.int32)
+
+    static = ParticleBoundaryStatic(
+        positions=bp,
+        psi=psi.astype(np.float32),
+        sorted_cell_ids=sorted_ids,
+        order=order,
+        dom_min=dom_min.astype(np.float32),
+        width=width,
+        cell=float(cell),
+        kb=kb,
+        max_per_cell=max_per_cell,
+    )
+    return ParticleBoundaryHandler(static=static)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleBoundaryHandler:
+    static: ParticleBoundaryStatic
+
+    def update_after_advect(self, position, h, params: SimulationParams) -> BoundaryTerms:
+        """Fluid->boundary fixed-K neighbor lists via the static boundary grid."""
+        st = self.static
+        C, D = position.shape
+        B = st.positions.shape[0]
+        MPC, KB = st.max_per_cell, st.kb
+
+        bpos = jnp.asarray(st.positions)
+        bpsi = jnp.asarray(st.psi)
+        sorted_ids = jnp.asarray(st.sorted_cell_ids)
+        order = jnp.asarray(st.order)
+        dom_min = jnp.asarray(st.dom_min)
+
+        sr = jnp.float32(params.h * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH)
+        ci = jnp.floor((position - dom_min[None, :]) / st.cell).astype(jnp.int32) + 1
+
+        cand_idx_parts, cand_valid_parts = [], []
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                ncid = (ci[:, 0] + ox) + (ci[:, 1] + oy) * st.width
+                start = jnp.searchsorted(sorted_ids, ncid, side="left").astype(jnp.int32)
+                window = start[:, None] + jnp.arange(MPC, dtype=jnp.int32)[None, :]
+                wc = jnp.minimum(window, B - 1)
+                ids = sorted_ids[wc]
+                idx = order[wc]
+                valid = (ids == ncid[:, None]) & (window < B)
+                diff = position[:, None, :] - bpos[idx]
+                r2 = jnp.sum(diff * diff, axis=-1)
+                valid = valid & (r2 < sr * sr)
+                cand_idx_parts.append(idx)
+                cand_valid_parts.append(valid)
+
+        cand_idx = jnp.concatenate(cand_idx_parts, axis=1)
+        cand_valid = jnp.concatenate(cand_valid_parts, axis=1)
+        ncols = cand_idx.shape[1]
+        key = jnp.where(cand_valid, 0, ncols) + jnp.arange(ncols, dtype=jnp.int32)[None, :]
+        take = jnp.argsort(key, axis=1)[:, :KB]
+        bidx = jnp.take_along_axis(cand_idx, take, axis=1)
+        bmask = jnp.take_along_axis(cand_valid, take, axis=1)
+        bidx = jnp.where(bmask, bidx, 0)
+
+        diff = position[:, None, :] - bpos[bidx]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-30)
+        min_bdist = jnp.min(jnp.where(bmask, dist, jnp.inf), axis=1)
+
+        return BoundaryTerms(
+            kind="particles", bidx=bidx, bmask=bmask, bpos=bpos, bpsi=bpsi, min_bdist=min_bdist
+        )
+
+
+# ---------------------------------------------------------------------------
+# Shared physics terms (dispatch on BoundaryTerms.kind, resolved at trace time)
+
+
+def _smoothing_h_fb(h_i, params: SimulationParams):
+    """Fluid-boundary smoothing length (sph_kernels.rs:300-305): uniform -> params.h."""
+    if params.particle_sizes == ParticleSizes.Uniform:
+        return jnp.full_like(h_i, params.h)
+    return h_i  # adaptive Akinci is unimplemented in the reference; SDF path ignores this
+
+
+def density_boundary_term(bt: BoundaryTerms, position, h, params: SimulationParams):
+    """Boundary density contribution (IISPH Eq 14 boundary part / lambda sum).
+
+    SDF: the reference adds sum(lambda) to the density *unscaled*
+    (boundary_winchenbach2020.rs:154-162 — exact with rest_density = 1, as in every
+    committed config); particle handler: sum Psi_b W_ib
+    (particle_boundary_handler.rs:109-128).
+    """
+    if bt.kind == "none":
+        return jnp.zeros(position.shape[0], jnp.float32)
+    if bt.kind == "sdf":
+        return jnp.sum(bt.lam, axis=-1)
+    # particles
+    hfb = _smoothing_h_fb(h, params)
+    diff = position[:, None, :] - bt.bpos[bt.bidx]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-30)
+    w = kernels.kernel_w(r, hfb[:, None], dim=position.shape[1])
+    return jnp.sum(jnp.where(bt.bmask, bt.bpsi[bt.bidx] * w, 0.0), axis=1)
+
+
+def boundary_pressure_accel(bt: BoundaryTerms, position, h, pressure, density, params: SimulationParams):
+    """IISPH Eq. 15 / Winchenbach Eq. 47 boundary pressure acceleration."""
+    C, D = position.shape
+    if bt.kind == "none":
+        return jnp.zeros((C, D), jnp.float32)
+
+    p_i = pressure
+    rho_i = density
+    rho_b = params.rest_density  # rho_b(rho0, rho_i) = rho0 (boundary_winchenbach2020.rs:52-55)
+
+    if bt.kind == "sdf":
+        od = params.operator_discretization
+        if od == OperatorDiscretization.ConsistentSymmetricGradient:
+            p_ib = p_i  # pressure mirroring
+        else:
+            p_ib = jnp.zeros_like(p_i)
+        coeff = -rho_b * (p_i / (rho_i * rho_i) + p_ib / (rho_b * rho_b))
+        return jnp.sum(bt.grad_lam * coeff[:, None, None], axis=1)
+
+    # particle boundary (particle_boundary_handler.rs:131-164)
+    hfb = _smoothing_h_fb(h, params)
+    diff = position[:, None, :] - bt.bpos[bt.bidx]
+    gw = kernels.kernel_grad(diff, hfb[:, None], dim=D)
+    psi = bt.bpsi[bt.bidx]
+    od = params.operator_discretization
+    if od in (OperatorDiscretization.ConsistentSymmetricGradient, OperatorDiscretization.Winchenbach2020):
+        term = -psi * (p_i[:, None] / (rho_i * rho_i)[:, None] + p_i[:, None] / (rho_b * rho_b))
+    else:
+        term = -psi * p_i[:, None] / (rho_i * rho_i)[:, None]
+    contrib = term[..., None] * gw
+    return jnp.sum(jnp.where(bt.bmask[..., None], contrib, 0.0), axis=1)
+
+
+def boundary_divergence(bt: BoundaryTerms, quantity, quantity_b, position, h, density, params: SimulationParams):
+    """Boundary part of the IISPH divergence (quantity_b is the boundary's value).
+
+    SDF (boundary_winchenbach2020.rs:196-223); particles (particle_boundary_handler.rs:166-186).
+    """
+    C = position.shape[0]
+    if bt.kind == "none":
+        return jnp.zeros(C, jnp.float32)
+
+    if bt.kind == "sdf":
+        rho_i = density
+        rho_b = params.rest_density
+        dq = quantity_b[None, None, :] - quantity[:, None, :]  # (C, S, D)
+        dots = jnp.sum(dq * bt.grad_lam, axis=-1)  # (C, S)
+        od = params.operator_discretization
+        if od == OperatorDiscretization.Winchenbach2020:
+            return jnp.sum(dots, axis=1)
+        return jnp.sum(dots, axis=1) * (rho_b / rho_i)
+
+    hfb = _smoothing_h_fb(h, params)
+    diff = position[:, None, :] - bt.bpos[bt.bidx]
+    gw = kernels.kernel_grad(diff, hfb[:, None], dim=position.shape[1])
+    psi = bt.bpsi[bt.bidx]
+    dq = quantity[:, None, :] - quantity_b[None, None, :]
+    s = psi * jnp.sum(dq * gw, axis=-1)
+    s = jnp.sum(jnp.where(bt.bmask, s, 0.0), axis=1)
+    return -s / density
+
+
+def distance_to_boundary(bt: BoundaryTerms):
+    """Nearest boundary distance per particle (used by EmptyAngle surface detection)."""
+    if bt.kind == "none":
+        return None
+    if bt.kind == "sdf":
+        return bt.sdf_min_dist
+    return bt.min_bdist
+
+
+def lambda_sum(bt: BoundaryTerms):
+    """sum_s lambda_s (boundary 'occluded volume' fraction) for h estimation."""
+    if bt.kind == "sdf":
+        return jnp.sum(bt.lam, axis=-1)
+    return None

@@ -1,0 +1,256 @@
+"""Per-step pipeline orchestration: one jit-compiled `step(state) -> (state, diag)`.
+
+Reference parity: FluidSimulation::single_step_without_adaptivity (simulation.rs:1980-2730)
+— the full stage order from SURVEY.md section 3.2:
+  h update -> neighbor search (extended + level estimation + filter_down, or direct)
+  -> h_next estimation -> neighborhood constraint -> boundary update -> CFL dt
+  -> density -> constant field -> a_ii -> pressure solve + integrate
+  -> optional post-advection level estimation -> level-field smoothing.
+
+Adaptivity (share/merge/split) lives in models/adaptivity.py and is chained by
+`make_step_fn` exactly as single_step does (simulation.rs:1973-1978).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import kernels
+from ..ops import neighbors as nbr
+from ..ops.pairwise import sym_sum
+from ..utils.params import (
+    LevelEstimationMethod,
+    ParticleSizes,
+    SimulationParams,
+    SupportLengthEstimation,
+)
+from . import boundary as bnd
+from . import level as level_mod
+from . import physics, solver
+from .state import FluidState
+
+
+def estimate_h_next_from_distribution(
+    nb, bt, position, mass, h, params: SimulationParams, clamping_factor: Optional[float]
+):
+    """V_est = (1 - min(lambda, 0.5)) / sum W_ij, blended 50/50 with old h
+    (simulation.rs:1873-1930)."""
+
+    def edge(vi, vj):
+        diff = vi["pos"] - vj["pos"]
+        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
+        return kernels.kernel_w(r, 0.5 * (vi["h"] + vj["h"]), dim=2)
+
+    w_sum = sym_sum(nb, {"pos": position, "h": h}, edge)
+    bv = bnd.lambda_sum(bt)
+    if bv is None:
+        bv = jnp.zeros_like(w_sum)  # reference todo!()s for the particle handler
+    volume_estimate = (1.0 - jnp.minimum(bv, 0.5)) / jnp.maximum(w_sum, 1e-30)
+    h_new = kernels.ETA * kernels.sphere_volume_to_radius(volume_estimate, dim=2)
+    h_next = 0.5 * h_new + 0.5 * h
+    if clamping_factor is not None:
+        h_next = jnp.minimum(
+            h_next,
+            clamping_factor * kernels.smoothing_length_from_mass(mass, params.rest_density, 2),
+        )
+    return h_next
+
+
+def estimate_h_next_from_distribution2(nb, bt, position, mass, h, params: SimulationParams):
+    """V_est = V_i / (sum V_j W_ij + lambda) (simulation.rs:1932-1971)."""
+
+    def edge(vi, vj):
+        diff = vi["pos"] - vj["pos"]
+        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
+        vj_vol = vj["mass"] / params.rest_density
+        return vj_vol * kernels.kernel_w(r, 0.5 * (vi["h"] + vj["h"]), dim=2)
+
+    v_w_sum = sym_sum(nb, {"pos": position, "mass": mass, "h": h}, edge)
+    bv = bnd.lambda_sum(bt)
+    if bv is None:
+        bv = jnp.zeros_like(v_w_sum)
+    vi = mass / params.rest_density
+    volume_estimate = vi / jnp.maximum(v_w_sum + bv, 1e-30)
+    h_new = kernels.ETA * kernels.sphere_volume_to_radius(volume_estimate, dim=2)
+    return 0.5 * h_new + 0.5 * h
+
+
+def single_step_without_adaptivity(
+    state: FluidState,
+    params: SimulationParams,
+    ncfg: nbr.NeighborConfig,
+    boundary_handler,
+):
+    """One full simulation step (no adaptivity). Pure function of the state."""
+    diag = {}
+    adaptive = params.particle_sizes == ParticleSizes.Adaptive
+
+    # 1. smoothing-length update (simulation.rs:1999-2016)
+    if adaptive:
+        if params.support_length_estimation == SupportLengthEstimation.FromMass:
+            h = kernels.smoothing_length_from_mass(state.mass, params.rest_density, 2)
+            h_next = state.h_next
+        else:
+            # distribution modes: apply last step's estimate (one step delayed)
+            h = state.h_next
+            h_next = state.h_next
+    else:
+        h = state.h
+        h_next = state.h_next
+    h_eff = physics.effective_h(h, params)
+
+    alive = state.alive
+    pos = state.position
+
+    # 2+3. neighbor search (+ pre-advection level estimation at extended radius)
+    level, has_level = state.level, state.has_level
+    stash = state.stash
+    flag_surface, flag_insufficient = state.flag_is_fluid_surface, state.flag_insufficient_neighs
+
+    do_levels = params.level_estimation_method != LevelEstimationMethod.NoneMethod
+    if (not params.level_estimation_after_advection) and do_levels:
+        assert params.use_extended_range_for_level_estimation
+        assert params.level_estimation_method != LevelEstimationMethod.CenterDiff, (
+            "center-diff needs densities; unavailable pre-advection (simulation.rs:2021)"
+        )
+        ext_scale = jnp.float32(params.level_estimation_range / kernels.ETA)
+        nb = nbr.build_neighborhood(pos, h_eff, alive, ext_scale, ncfg)
+        bt_lvl = boundary_handler.update_after_advect(pos, h, params)
+        level, has_level, flag_surface, flag_insufficient, stash = (
+            level_mod.perform_level_estimation(
+                nb, bt_lvl, pos, state.mass, state.density, h_eff, alive, stash, params
+            )
+        )
+        nb = nbr.filter_down(
+            nb, pos, h_eff, alive,
+            jnp.float32(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH), ncfg.levels,
+        )
+    else:
+        nb = nbr.build_neighborhood(
+            pos, h_eff, alive, jnp.float32(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH), ncfg
+        )
+
+    neighbor_count = nb.count
+    diag["neighbor_overflow"] = (nb.row_overflow, nb.cell_overflow, nb.level_overflow)
+
+    # 8. boundary update_after_advect (simulation.rs:2179-2180) — hoisted above the
+    # h_next estimation because the distribution estimators consume boundary lambda
+    # terms; the reference evaluates b.lambda_sum(i) from the *previous* step's terms
+    # at this point (simulation.rs:1892-1898), a one-step lag we avoid by updating first
+    bt = boundary_handler.update_after_advect(pos, h, params)
+
+    # 6. h_next estimation (simulation.rs:2090-2143)
+    if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
+        sle = params.support_length_estimation
+        if sle == SupportLengthEstimation.FromDistribution:
+            h_next = estimate_h_next_from_distribution(nb, bt, pos, state.mass, h_eff, params, None)
+        elif sle == SupportLengthEstimation.FromDistributionClamped1:
+            h_next = estimate_h_next_from_distribution(nb, bt, pos, state.mass, h_eff, params, 1.0)
+        elif sle == SupportLengthEstimation.FromDistributionClamped2:
+            h_next = estimate_h_next_from_distribution(nb, bt, pos, state.mass, h_eff, params, 2.0)
+        elif sle == SupportLengthEstimation.FromDistribution2:
+            h_next = estimate_h_next_from_distribution2(nb, bt, pos, state.mass, h_eff, params)
+
+    # 9. CFL dt (simulation.rs:2182-2191)
+    dt = physics.cfl_dt(state.velocity, h, alive, params)
+    diag["dt"] = dt
+
+    # 10. density (simulation.rs:2204)
+    density = physics.compute_density(nb, bt, pos, state.mass, h_eff, params)
+    density = jnp.where(alive, density, 1.0)
+
+    # 11. constant field diagnostic (simulation.rs:2235-2248)
+    constant_field = physics.compute_constant_field(
+        nb, bt, pos, state.mass, density, h_eff, params
+    )
+
+    # 12. a_ii (simulation.rs:2250-2259)
+    aii = physics.compute_aii(nb, bt, pos, state.mass, density, h_eff, params)
+    aii = jnp.where(alive, aii, 0.0)
+    diag["negative_aii"] = jnp.sum(alive & (aii < 0.0))
+
+    # 13. pressure solve + integrate (simulation.rs:2261-2671)
+    st = state.replace(density=density, aii=aii, h=h)
+    new_fields, sdiag = solver.solve_and_integrate(nb, bt, st, h_eff, dt, params)
+    diag.update(sdiag)
+
+    pos2 = jnp.where(alive[:, None], new_fields["position"], pos)
+    vel2 = jnp.where(alive[:, None], new_fields["velocity"], state.velocity)
+
+    # 14. optional post-advection level estimation (simulation.rs:2678-2707)
+    if params.level_estimation_after_advection and do_levels:
+        if params.use_extended_range_for_level_estimation:
+            ext_scale = jnp.float32(params.level_estimation_range / kernels.ETA)
+            nb_lvl = nbr.build_neighborhood(pos2, h_eff, alive, ext_scale, ncfg)
+        else:
+            nb_lvl = nb
+        bt2 = boundary_handler.update_after_advect(pos2, h, params)
+        level, has_level, flag_surface, flag_insufficient, stash = (
+            level_mod.perform_level_estimation(
+                nb_lvl, bt2, pos2, state.mass, density, h_eff, alive, stash, params
+            )
+        )
+        nb_smooth = nb_lvl
+        pos_smooth = pos2
+    else:
+        nb_smooth = nb
+        pos_smooth = pos  # smoothing uses the pre-advection neighborhood/positions
+
+    # 15. level-field smoothing (simulation.rs:2709-2722)
+    level_old = state.level_old
+    if do_levels:
+        level, has_level = level_mod.smooth_level_field(
+            nb_smooth, pos_smooth, state.mass, density, h_eff, level, has_level, params
+        )
+        level_old = level
+
+    new_state = state.replace(
+        position=pos2,
+        velocity=vel2,
+        pressure=jnp.where(alive, new_fields["pressure"], 0.0),
+        pressure_accel=jnp.where(alive[:, None], new_fields["pressure_accel"], 0.0),
+        ppe_source_term=jnp.where(alive, new_fields["ppe_source_term"], 0.0),
+        density_error=new_fields["density_error"],
+        omega=new_fields["omega"],
+        density=density,
+        aii=aii,
+        constant_field=constant_field,
+        h=h,
+        h_next=h_next,
+        level=level,
+        has_level=has_level,
+        level_old=level_old,
+        neighbor_count=neighbor_count,
+        flag_is_fluid_surface=flag_surface,
+        flag_insufficient_neighs=flag_insufficient,
+        stash=stash,
+        time=state.time + dt,
+        step_number=state.step_number + 1,
+    )
+    return new_state, nb, dt, diag
+
+
+def make_step_fn(params: SimulationParams, ncfg: nbr.NeighborConfig, boundary_handler,
+                 split_patterns=None):
+    """Build the jitted single_step (simulation.rs:1973-1978): physics + adaptivity."""
+    from . import adaptivity as adapt
+
+    adaptive = params.particle_sizes == ParticleSizes.Adaptive
+
+    @jax.jit
+    def step(state: FluidState):
+        state, nb, dt, diag = single_step_without_adaptivity(
+            state, params, ncfg, boundary_handler
+        )
+        if adaptive and (params.sharing or params.merging or params.splitting):
+            state, adiag = adapt.single_step_adaptivity(
+                state, nb, dt, params, split_patterns
+            )
+            diag.update(adiag)
+        return state, diag
+
+    return step
