@@ -1,0 +1,132 @@
+"""Command-line interface mirroring the reference's clap CLI (main_loop.rs:24-207).
+
+Subcommands:
+  run <config> <scene> [--max-seconds S] [--overwrite-config-file F] [-p]
+      [--statistics-path F] [--vtk-dir DIR] [--snapshot-png F]
+  image <export-configs...>
+  generate-split-patterns [out.yaml] [--max-children N]
+
+The interactive SDL/egui viewer is replaced by offline artifacts (PNG/VTK/stats);
+render semantics are ported in utils/render.py + utils/colors.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="adaptive-sph-tpu", description="TPU-native adaptive SPH")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="Run simulation with given config")
+    p_run.add_argument("simulation_config")
+    p_run.add_argument("scene_config")
+    p_run.add_argument("--max-seconds", "-s", type=float, default=None)
+    p_run.add_argument("--overwrite-config-file", "-c", default=None)
+    p_run.add_argument("--statistics-enabled", "-p", action="store_true")
+    p_run.add_argument("--statistics-path", "-w", default=None)
+    p_run.add_argument("--max-steps", type=int, default=10**9)
+    p_run.add_argument("--vtk-dir", default=None, help="export VTK snapshots to this dir")
+    p_run.add_argument("--vtk-every", type=int, default=1)
+    p_run.add_argument("--snapshot-png", default=None, help="render the final state to PNG")
+
+    p_img = sub.add_parser("image", help="Offline image/video export")
+    p_img.add_argument("export_configs", nargs="+")
+
+    p_gen = sub.add_parser("generate-split-patterns", help="Precompute split patterns")
+    p_gen.add_argument("output_yaml", nargs="?", default="./split-patterns.yaml")
+    p_gen.add_argument("--max-children", type=int, default=60)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "run":
+        return cmd_run(args)
+    if args.cmd == "image":
+        from .utils.animation import export_simulation_images
+
+        # reference accepts comma-separated lists too (main_loop.rs:190-196)
+        paths = [p for arg in args.export_configs for p in arg.split(",")]
+        export_simulation_images(paths)
+        return 0
+    if args.cmd == "generate-split-patterns":
+        from .utils.split_patterns import generate_split_patterns, save_patterns
+
+        patterns = generate_split_patterns(args.max_children)
+        save_patterns(patterns, args.output_yaml)
+        print(f"Wrote {len(patterns)} patterns to {args.output_yaml}")
+        return 0
+    return 1
+
+
+def cmd_run(args):
+    from .models import scene as scene_mod
+    from .runner import SimulationFailed, create_simulation
+    from .utils import stats as stats_mod
+    from .utils.params import load_params
+
+    params = load_params(args.simulation_config, overwrite_path=args.overwrite_config_file)
+    scene = scene_mod.load_scene(args.scene_config)
+    sim = create_simulation(params, scene, counters_enabled=True)
+    print(f"INIT {sim.num_fluid_particles} FLUID PARTICLES")
+
+    vtk = None
+    if args.vtk_dir:
+        from .utils.vtk import VtkExporter
+
+        vtk = VtkExporter(args.vtk_dir, "adaptive-sph-tpu")
+
+    step = 0
+    try:
+        while step < args.max_steps:
+            diag = sim.step()
+            step += 1
+            line = (
+                f"step {step:05d} t={sim.time:.4f}s dt={float(diag['dt'])*1000:.3f}ms "
+                f"n={sim.num_fluid_particles}"
+            )
+            if "div_iterations" in diag:
+                line += f" div-iters={int(diag['div_iterations'])}"
+            if "density_iterations" in diag:
+                line += f" density-iters={int(diag['density_iterations'])}"
+            print(line)
+            if vtk is not None and step % args.vtk_every == 0:
+                from .utils.render import boundary_segments
+                from .utils.snapshot import take_snapshot
+
+                vtk.add_snapshot(
+                    sim.time, take_snapshot(sim.state), boundary_segments(sim.boundary_handler)
+                )
+            if args.max_seconds is not None and sim.time >= args.max_seconds:
+                break
+    except SimulationFailed as e:
+        print(f"SIMULATION FAILED: {e}", file=sys.stderr)
+        return 2
+    finally:
+        if args.statistics_enabled:
+            s = stats_mod.write_statistics(sim.counters)
+            print(s, end="")
+            if args.statistics_path:
+                with open(args.statistics_path, "w") as f:
+                    f.write(s)
+        if args.snapshot_png:
+            from .utils.colors import VisualizationParams, colors_for_particles
+            from .utils.render import render2d, save_png
+            from .utils.snapshot import take_snapshot
+
+            snap = take_snapshot(sim.state, sim.params)
+            viz = VisualizationParams()
+            colors = colors_for_particles(snap, sim.params, viz)
+            img = render2d(
+                snap["position"], snap["mass"], sim.params.rest_density, colors,
+                sim.boundary_handler,
+            )
+            save_png(img, args.snapshot_png)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,7 +85,8 @@ def test_iisph_dam_break_runs_and_converges():
 
     # mass conserved exactly (no adaptivity)
     m = np.asarray(sim.state.mass)[alive]
-    assert abs(m.sum() - 0.05 * 0.05 * 0.93 * (10 * 14)) < 1e-5
+    n = int(sim.state.n)
+    assert abs(m.sum() - 0.05 * 0.05 * 0.93 * n) < 1e-5
 
 
 def test_hybrid_dfsph_dam_break():
