@@ -1,0 +1,76 @@
+"""Benchmark: particle-updates/sec/chip on the ratio-stress-test scene.
+
+Scenario parity: media/ratio-stress-test.yaml + media/ratio-stress-test-scene.yaml —
+50:1 particle-radius ratio (block spacings 0.4 / 0.008), HybridDFSPH with density
+tolerance 0.1% and divergence tolerance 0.01%, adaptivity off, FromMass support
+lengths, cfl 0.3, max_dt 0.003.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 50e6 (BASELINE.md north star).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_sim():
+    from adaptive_sph_tpu.models import scene as scene_mod
+    from adaptive_sph_tpu.runner import create_simulation
+    from adaptive_sph_tpu.utils.params import SimulationParams, params_from_dict
+
+    scene = scene_mod.scene_from_dict(
+        {
+            "boundary": {"type": "box", "width": 2, "height": 2},
+            "blocks": [
+                {"pos": [0.4, -0.5], "size": [0.55, 1.4], "spacing": 0.4,
+                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+                {"pos": [-0.95, -0.5], "size": [0.55, 1.4], "spacing": 0.008,
+                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            ],
+        }
+    )
+    params = SimulationParams(
+        merging=False,
+        sharing=False,
+        splitting=False,
+        max_iters=200,
+        hybrid_dfsph_max_avg_density_error=0.001,
+        hybrid_dfsph_max_avg_divergence_error=0.0001,
+        hybrid_dfsph_factor=1000000.0,
+        cfl_factor=0.3,
+        max_dt=0.003,
+    )
+    return create_simulation(params, scene, counters_enabled=False)
+
+
+def main():
+    sim = build_sim()
+    n = sim.num_fluid_particles
+
+    # warmup: compile + let the solver reach steady behavior
+    for _ in range(3):
+        sim.step()
+
+    steps = 60
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        sim.step()
+    elapsed = time.perf_counter() - t0
+
+    updates_per_sec = n * steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "particle-updates/sec/chip on ratio-stress-test",
+                "value": float(updates_per_sec),
+                "unit": "updates/s",
+                "vs_baseline": float(updates_per_sec / 50e6),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
