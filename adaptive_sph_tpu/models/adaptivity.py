@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import kernels
 from ..ops.neighbors import Neighborhood
@@ -273,9 +274,9 @@ def split(state: FluidState, params: SimulationParams, patterns, max_splits: int
     classification re-runs there); deferred count is returned for diagnostics.
     """
     C = state.capacity
-    pat_pos, pat_counts = patterns  # (P, MAXC, 2), (P,)
+    pat_pos, pat_counts = patterns  # (P, MAXC, 2) device, (P,) host numpy
     P, MAXC, _ = pat_pos.shape
-    max_children = int(pat_counts.max())
+    max_children = int(np.max(np.asarray(pat_counts)))
 
     cls = classify(state, params)
     too_large = state.alive & (cls == SIZE_TOO_LARGE)

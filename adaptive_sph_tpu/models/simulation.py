@@ -155,6 +155,32 @@ def single_step_without_adaptivity(
         elif sle == SupportLengthEstimation.FromDistribution2:
             h_next = estimate_h_next_from_distribution2(nb, bt, pos, state.mass, h_eff, params)
 
+    # 7. neighborhood-count constraint ("Constrained Neighbor Lists",
+    #    simulation.rs:2145-2177): shed excess neighbors by shrinking h now.
+    flag_reduced = state.flag_neighborhood_reduced
+    if adaptive and params.constrain_neighborhood_count:
+        target_neighbors = int(kernels.optimal_neighbor_number(2)) + 5
+        need = alive & (nb.count > target_neighbors)
+        # fringe = 2|x_ij| - sr_j over the forward row (same-or-larger neighbors; the
+        # reference sorts the full list — smaller cross-level neighbors have the
+        # largest fringe and are shed first, so the forward row covers the cut point
+        # except at extreme interfaces)
+        xj = pos[nb.idx]
+        dist = jnp.sqrt(jnp.sum((pos[:, None, :] - xj) ** 2, -1) + 1e-30)
+        sr_j = h_eff[nb.idx] * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+        fringe = jnp.where(nb.mask, 2.0 * dist - sr_j, -jnp.inf)
+        fringe_sorted = -jnp.sort(-fringe, axis=1)  # descending
+        k = jnp.clip(nb.count - target_neighbors, 0, fringe.shape[1] - 1)
+        h_constrained = jnp.take_along_axis(fringe_sorted, k[:, None], axis=1)[:, 0]
+        h_constrained = jnp.maximum(h_constrained, 0.0)
+        # the reference overwrites h2_next wholesale (discarding any distribution
+        # estimate) and swaps: h2 <- constrained-or-h2, h2_next <- old h2
+        # (simulation.rs:2148-2173)
+        h_next = h
+        h = jnp.where(need, h_constrained, h)
+        h_eff = physics.effective_h(h, params)
+        flag_reduced = need
+
     # 9. CFL dt (simulation.rs:2182-2191)
     dt = physics.cfl_dt(state.velocity, h, alive, params)
     diag["dt"] = dt
@@ -172,6 +198,13 @@ def single_step_without_adaptivity(
     aii = physics.compute_aii(nb, bt, pos, state.mass, density, h_eff, params)
     aii = jnp.where(alive, aii, 0.0)
     diag["negative_aii"] = jnp.sum(alive & (aii < 0.0))
+
+    if params.check_aii:
+        from .debug_checks import check_aii_deviation
+
+        diag["aii_deviation"] = check_aii_deviation(
+            nb, bt, pos, state.mass, density, h_eff, aii, alive, params
+        )
 
     # 13. pressure solve + integrate (simulation.rs:2261-2671)
     st = state.replace(density=density, aii=aii, h=h)
@@ -227,6 +260,7 @@ def single_step_without_adaptivity(
         neighbor_count=neighbor_count,
         flag_is_fluid_surface=flag_surface,
         flag_insufficient_neighs=flag_insufficient,
+        flag_neighborhood_reduced=flag_reduced,
         stash=stash,
         time=state.time + dt,
         step_number=state.step_number + 1,

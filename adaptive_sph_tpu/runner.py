@@ -66,6 +66,10 @@ class Simulation:
                 )
             if not np.isfinite(float(diag["dt"])):
                 raise SimulationFailed("non-finite dt")
+            if "aii_deviation" in diag:
+                dev = float(diag["aii_deviation"])
+                if not dev < 0.01:  # f32 tolerance (simulation.rs:1369-1374)
+                    raise SimulationFailed(f"a_ii check failed: max deviation {dev}")
             if "mass_conservation_error" in diag:
                 err = float(diag["mass_conservation_error"])
                 if not err < 0.005:  # simulation.rs:2791-2792

@@ -1,0 +1,41 @@
+"""Checkpoint/resume: dump and restore the full FluidState.
+
+The reference has no checkpointing (SURVEY.md section 5.4 calls it out as a gap the
+rebuild should close). With fixed-capacity SoA arrays this is a single npz of the
+state pytree plus the scalar clock; capacity may change on load (re-padding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.state import FluidState
+
+
+def save_state(path: str, state: FluidState):
+    arrays = {f.name: np.asarray(getattr(state, f.name)) for f in dataclasses.fields(state)}
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path: str, capacity: int = None) -> FluidState:
+    data = np.load(path)
+    cur_cap = data["position"].shape[0]
+    capacity = capacity or cur_cap
+
+    def fit(a):
+        if a.ndim == 0 or a.shape[0] != cur_cap:
+            return jnp.asarray(a)
+        if capacity == cur_cap:
+            return jnp.asarray(a)
+        out = np.zeros((capacity,) + a.shape[1:], a.dtype)
+        n = min(capacity, cur_cap)
+        out[:n] = a[:n]
+        return jnp.asarray(out)
+
+    kw = {k: fit(data[k]) for k in data.files}
+    st = FluidState(**kw)
+    assert int(st.n) <= capacity, "capacity too small for checkpointed particle count"
+    return st

@@ -231,7 +231,9 @@ def to_padded_table(patterns: list):
         n = len(p["pos_s"])
         pos[k, :n] = np.asarray(p["pos_s"], np.float32)
         counts[k] = n
-    return jnp.asarray(pos), jnp.asarray(counts)
+    # counts stay host-side numpy: the splitter derives its static child-count cap
+    # from them at trace time
+    return jnp.asarray(pos), counts
 
 
 def load_default_patterns(path: str = None):
