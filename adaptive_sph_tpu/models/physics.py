@@ -5,10 +5,15 @@ Reference parity (simulation.rs):
   divergence operator    :1552-1592   pressure accel        :1750-1808
   a_ii closed forms      : boundary_handler/*.rs            source terms :1633-1748
 
-Every sweep is a `sym_sum` over the forward neighbor structure (ops/pairwise.py) plus
-the boundary handler's closed-form contribution (models/boundary.py). The operator
-discretization switch (ConsistentSimpleGradient / ConsistentSymmetricGradient /
-Winchenbach2020, simulation_parameters.rs:110-122) is resolved at trace time.
+Every sweep runs over the per-step EdgeCache (ops/edge_cache.py): kernel values,
+gradients, distances and gathered masses/densities are computed once per neighborhood;
+the Jacobi loop's two sweeps per iteration reduce to one (C, K) gather of the changing
+field plus fused arithmetic and a sorted segment-sum. Boundary contributions collapse
+to precomputed per-particle vectors (models/boundary.py solver terms).
+
+The operator discretization switch (ConsistentSimpleGradient /
+ConsistentSymmetricGradient / Winchenbach2020, simulation_parameters.rs:110-122) is
+resolved at trace time.
 """
 
 from __future__ import annotations
@@ -16,8 +21,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import kernels
+from ..ops.edge_cache import EdgeCache, reduce_edges
 from ..ops.neighbors import Neighborhood
-from ..ops.pairwise import sym_sum
 from ..utils.params import (
     OperatorDiscretization,
     ParticleSizes,
@@ -34,79 +39,55 @@ def effective_h(h, params: SimulationParams):
     return h
 
 
-def _pair_h(vi, vj):
-    return 0.5 * (vi["h"] + vj["h"])
-
-
-def compute_density(nb: Neighborhood, bt, position, mass, h, params: SimulationParams):
+def compute_density(nb: Neighborhood, cache: EdgeCache, bt, position, h,
+                    params: SimulationParams, mass):
     """rho_i = sum_j m_j W_ij + boundary term (simulation.rs:1007-1028)."""
-
-    def edge(vi, vj):
-        diff = vi["pos"] - vj["pos"]
-        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-        return vj["mass"] * kernels.kernel_w(r, _pair_h(vi, vj), dim=2)
-
-    rho = sym_sum(nb, {"pos": position, "mass": mass, "h": h}, edge)
-    rho = rho + bnd.density_boundary_term(bt, position, h, params)
-    return rho
+    fwd = cache.mass_j * cache.w
+    bwd = mass[:, None] * cache.w
+    rho = reduce_edges(nb, fwd, bwd)
+    return rho + bnd.density_boundary_term(bt, position, h, params)
 
 
-def compute_constant_field(nb: Neighborhood, bt, position, mass, density, h, params):
+def compute_constant_field(nb, cache: EdgeCache, bt, position, h, params, mass, density):
     """<1>_i = sum_j (m_j/rho_j) W_ij + boundary/rho0 (simulation.rs:2235-2248)."""
-
-    def edge(vi, vj):
-        diff = vi["pos"] - vj["pos"]
-        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-        return vj["mass"] / vj["rho"] * kernels.kernel_w(r, _pair_h(vi, vj), dim=2)
-
-    cf = sym_sum(nb, {"pos": position, "mass": mass, "rho": density, "h": h}, edge)
+    fwd = cache.mass_j / cache.rho_j * cache.w
+    bwd = (mass / density)[:, None] * cache.w
+    cf = reduce_edges(nb, fwd, bwd)
     return cf + bnd.density_boundary_term(bt, position, h, params) / params.rest_density
 
 
-def non_pressure_accel(
-    nb: Neighborhood, position, velocity, density, mass, h, params: SimulationParams
-):
+def non_pressure_accel(nb, cache: EdgeCache, position, velocity, density, mass,
+                       params: SimulationParams):
     """Viscosity + gravity + interactive pull (simulation.rs:929-1005)."""
     D = position.shape[1]
     speed_of_sound = 88.0  # WCSPH below eq. 9
 
-    if params.viscosity_type == ViscosityType.WCSPH:
-
-        def edge(vi, vj):
-            x_ab = vi["pos"] - vj["pos"]
-            v_ab = vi["vel"] - vj["vel"]
-            h_ij = _pair_h(vi, vj)
-            dg = kernels.kernel_grad(x_ab, h_ij, dim=2)
-            vd = jnp.sum(v_ab * x_ab, -1)
-            r2 = jnp.sum(x_ab * x_ab, -1)
-            viscous_term = 2.0 * params.viscosity * h_ij * speed_of_sound / (vi["rho"] + vj["rho"])
-            pi_ab = -viscous_term * vd / (r2 + 0.001 * h_ij * h_ij)
-            contrib = (-vj["mass"] * pi_ab)[..., None] * dg
-            return jnp.where((vd < 0.0)[..., None], contrib, 0.0)
-
-        visc = sym_sum(
-            nb, {"pos": position, "vel": velocity, "rho": density, "mass": mass, "h": h}, edge
-        )
-    elif params.viscosity_type == ViscosityType.ApproxLaplace:
-
-        def edge(vi, vj):
-            x_ab = vi["pos"] - vj["pos"]
-            v_ab = vi["vel"] - vj["vel"]
-            dot = jnp.sum(x_ab * v_ab, -1)
-            h_ij = _pair_h(vi, vj)
-            dg = kernels.kernel_grad(x_ab, h_ij, dim=2)
-            rho_ij = (vi["rho"] + vj["rho"]) * 0.5
-            r2 = jnp.sum(x_ab * x_ab, -1)
-            # SPH Tutorial Eq. 102
-            coeff = 2.0 * (D + 2) * (vj["mass"] / rho_ij) * dot / (r2 + 0.01 * h_ij * h_ij)
-            contrib = (params.viscosity * coeff)[..., None] * dg
-            return jnp.where((dot < 0.0)[..., None], contrib, 0.0)
-
-        visc = sym_sum(
-            nb, {"pos": position, "vel": velocity, "rho": density, "mass": mass, "h": h}, edge
-        )
-    else:  # XSPH: todo!() in the reference too (simulation.rs:990-993, 2673-2676)
-        visc = jnp.zeros_like(position)
+    if params.viscosity_type == ViscosityType.XSPH:
+        visc = jnp.zeros_like(position)  # todo!() in the reference (simulation.rs:2673-2676)
+    else:
+        v_j = velocity[nb.idx]
+        v_ab = velocity[:, None, :] - v_j  # v_i - v_j, same for both edge directions
+        dot = jnp.sum(cache.diff * v_ab, -1)  # x_ij . v_ij (symmetric under swap)
+        r2 = cache.r * cache.r
+        attract = dot < 0.0
+        rho_i = density[:, None]
+        if params.viscosity_type == ViscosityType.WCSPH:
+            viscous_term = (
+                2.0 * params.viscosity * cache.h_ij * speed_of_sound / (rho_i + cache.rho_j)
+            )
+            pi_ab = -viscous_term * dot / (r2 + 0.001 * cache.h_ij * cache.h_ij)
+            fwd = (-cache.mass_j * pi_ab)[..., None] * cache.grad
+            # reversed edge: x_ba = -diff, v_ba = -v_ab, grad_ba = -grad -> pi same,
+            # contribution to j uses m_i and -grad
+            bwd = (mass[:, None] * pi_ab)[..., None] * cache.grad
+        else:  # ApproxLaplace (SPH Tutorial Eq. 102)
+            rho_ij = (rho_i + cache.rho_j) * 0.5
+            coeff = 2.0 * (D + 2) * dot / (r2 + 0.01 * cache.h_ij * cache.h_ij) / rho_ij
+            fwd = (params.viscosity * cache.mass_j * coeff)[..., None] * cache.grad
+            bwd = (-params.viscosity * mass[:, None] * coeff)[..., None] * cache.grad
+        fwd = jnp.where(attract[..., None], fwd, 0.0)
+        bwd = jnp.where(attract[..., None], bwd, 0.0)
+        visc = reduce_edges(nb, fwd, bwd)
 
     accel = visc + jnp.asarray(params.gravity_vector(D), jnp.float32)[None, :]
     if params.pull_fluid_to is not None:
@@ -116,113 +97,101 @@ def non_pressure_accel(
     return accel
 
 
-def divergence(
-    nb: Neighborhood,
-    bt,
-    quantity,  # (C, D) per-particle field A_i
-    quantity_b,  # (D,) boundary value
-    position,
-    mass,
-    density,
-    h,
-    params: SimulationParams,
-):
-    """div(A)_i per simulation.rs:1552-1592 (+ boundary term)."""
+def divergence(nb, cache: EdgeCache, bst, quantity, quantity_b, mass, density,
+               params: SimulationParams):
+    """div(A)_i per simulation.rs:1552-1592 (+ precomputed boundary term).
 
-    def edge(vi, vj):
-        dg = kernels.kernel_grad(vi["pos"] - vj["pos"], _pair_h(vi, vj), dim=2)
-        dq = jnp.sum((vj["q"] - vi["q"]) * dg, -1)
-        if params.operator_discretization == OperatorDiscretization.Winchenbach2020:
-            return vj["mass"] / vj["rho"] * dq
-        return vj["mass"] * dq  # divided by rho_i afterwards
+    bst: BoundarySolverTerms (models/boundary.py) or None.
+    """
+    q_j = quantity[nb.idx]  # (C, K, D)
+    dq_dot = jnp.sum((q_j - quantity[:, None, :]) * cache.grad, -1)  # (C, K)
 
-    s = sym_sum(
-        nb, {"pos": position, "q": quantity, "mass": mass, "rho": density, "h": h}, edge
-    )
-    if params.operator_discretization != OperatorDiscretization.Winchenbach2020:
-        s = s / density
-    s = s + bnd.boundary_divergence(bt, quantity, quantity_b, position, h, density, params)
+    if params.operator_discretization == OperatorDiscretization.Winchenbach2020:
+        fwd = cache.mass_j / cache.rho_j * dq_dot
+        bwd = (mass / density)[:, None] * dq_dot  # (q_i-q_j).(-grad) = dq_dot
+        s = reduce_edges(nb, fwd, bwd)
+    else:
+        fwd = cache.mass_j * dq_dot
+        bwd = mass[:, None] * dq_dot
+        s = reduce_edges(nb, fwd, bwd) / density
+
+    if bst is not None:
+        s = s + bnd.boundary_divergence_fast(bst, quantity, quantity_b, density, params)
     return s
 
 
-def pressure_accel(
-    nb: Neighborhood, bt, position, mass, pressure, density, h, params: SimulationParams
-):
-    """a_p = -sum_j m_j (p_i/rho_i^2 + p_j/rho_j^2) grad W_ij + boundary (simulation.rs:1750-1808)."""
-
-    def edge(vi, vj):
-        dg = kernels.kernel_grad(vi["pos"] - vj["pos"], _pair_h(vi, vj), dim=2)
-        term = vi["p"] / (vi["rho"] * vi["rho"]) + vj["p"] / (vj["rho"] * vj["rho"])
-        return (-vj["mass"] * term)[..., None] * dg
-
-    acc = sym_sum(
-        nb, {"pos": position, "p": pressure, "mass": mass, "rho": density, "h": h}, edge
-    )
-    acc = acc + bnd.boundary_pressure_accel(bt, position, h, pressure, density, params)
+def pressure_accel(nb, cache: EdgeCache, bst, pressure, mass, density,
+                   params: SimulationParams):
+    """a_p = -sum_j m_j (p_i/rho_i^2 + p_j/rho_j^2) grad W_ij + boundary
+    (simulation.rs:1750-1808)."""
+    term = pressure / (density * density)  # (C,)
+    term_pair = term[:, None] + pressure[nb.idx] / (cache.rho_j * cache.rho_j)
+    fwd = (-cache.mass_j * term_pair)[..., None] * cache.grad
+    bwd = (mass[:, None] * term_pair)[..., None] * cache.grad  # -m_i * term * (-grad)
+    acc = reduce_edges(nb, fwd, bwd)
+    if bst is not None:
+        acc = acc + bnd.boundary_pressure_accel_fast(bst, pressure, density, params)
     return acc
 
 
-def compute_aii(nb: Neighborhood, bt, position, mass, density, h, params: SimulationParams):
+def compute_aii(nb, cache: EdgeCache, bt, bst, mass, density, params: SimulationParams):
     """Closed-form diagonal a_ii, dispatching on boundary handler + discretization.
 
     ParticleBased: particle_boundary_handler.rs:188-232
     Winchenbach SDF: boundary_winchenbach2020.rs:225-306
     NoBoundary: fluid-only terms of the ConsistentSimpleGradient form (the reference
-    leaves this unimplemented!(); extension documented in SURVEY parity notes).
+    leaves this unimplemented!(); documented extension).
     """
-    C, D = position.shape
     rho_i = density
     rho_i_sq = rho_i * rho_i
     rho_i_cu = rho_i_sq * rho_i
     rho_b = params.rest_density
     od = params.operator_discretization
+    grad2 = jnp.sum(cache.grad * cache.grad, -1)
 
-    def edge(vi, vj):
-        gw = kernels.kernel_grad(vi["pos"] - vj["pos"], _pair_h(vi, vj), dim=2)
-        return {
-            "mj_wij": vj["mass"][..., None] * gw,
-            "mj_wij_sq": vj["mass"] * jnp.sum(gw * gw, -1),
-            "mj_by_rhoj_wij": (vj["mass"] / vj["rho"])[..., None] * gw,
-            "mj_by_rhoj_wij_sq": vj["mass"] / vj["rho"] * jnp.sum(gw * gw, -1),
-        }
-
-    sums = sym_sum(nb, {"pos": position, "mass": mass, "rho": density, "h": h}, edge)
+    sums = reduce_edges(
+        nb,
+        fwd={
+            "mj_wij": cache.mass_j[..., None] * cache.grad,
+            "mj_wij_sq": cache.mass_j * grad2,
+            "mj_by_rhoj_wij": (cache.mass_j / cache.rho_j)[..., None] * cache.grad,
+            "mj_by_rhoj_wij_sq": cache.mass_j / cache.rho_j * grad2,
+        },
+        bwd={
+            "mj_wij": -mass[:, None, None] * cache.grad,
+            "mj_wij_sq": mass[:, None] * grad2,
+            "mj_by_rhoj_wij": -(mass / density)[:, None, None] * cache.grad,
+            "mj_by_rhoj_wij_sq": (mass / density)[:, None] * grad2,
+        },
+    )
     mj_wij = sums["mj_wij"]
     mj_wij_sq = sums["mj_wij_sq"]
     mi = mass
 
     if bt.kind == "particles":
-        hfb = bnd._smoothing_h_fb(h, params)
-        diff = position[:, None, :] - bt.bpos[bt.bidx]
-        gw_ib = kernels.kernel_grad(diff, hfb[:, None], dim=D)
-        gw_ib = jnp.where(bt.bmask[..., None], gw_ib, 0.0)
-        psi = jnp.where(bt.bmask, bt.bpsi[bt.bidx], 0.0)
+        # boundary sums precomputed once per step in bst
         p_ib_coeff = 0.0 if od == OperatorDiscretization.ConsistentSimpleGradient else 1.0
-        mb_wib = jnp.sum(psi[..., None] * gw_ib, axis=1)
-        mb_p = jnp.sum((psi * (p_ib_coeff / (rho_b * rho_b)))[..., None] * gw_ib, axis=1)
+        mb_wib = bst.G
+        mb_p = bst.G * (p_ib_coeff / (rho_b * rho_b))
         lhs = mj_wij / rho_i_sq[:, None] + mb_wib / rho_i_sq[:, None] + mb_p
         rhs = mj_wij + mb_wib
         return jnp.sum(lhs * rhs, -1) / rho_i + mi * mj_wij_sq / rho_i_cu
 
     if bt.kind == "sdf":
-        glam = jnp.where(bt.lam_mask[..., None], bt.grad_lam, 0.0)  # (C, S, D)
+        G = bst.G  # sum of grad_lambda over shapes (C, D)
         if od == OperatorDiscretization.Winchenbach2020:
-            sum_glambda = jnp.sum(glam, axis=1)
-            sum_boundary = jnp.sum(glam, axis=1) * (rho_b / rho_i_sq)[:, None]  # p_ib_coeff = 0
+            sum_boundary = G * (rho_b / rho_i_sq)[:, None]  # p_ib_coeff = 0
             lhs = mj_wij / rho_i_sq[:, None] + sum_boundary
-            rhs = sums["mj_by_rhoj_wij"] + sum_glambda
+            rhs = sums["mj_by_rhoj_wij"] + G
             return jnp.sum(lhs * rhs, -1) + mi * sums["mj_by_rhoj_wij_sq"] / rho_i_sq
         else:
             p_ib_coeff = 1.0 if od == OperatorDiscretization.ConsistentSymmetricGradient else 0.0
-            rhob_glambda = jnp.sum(glam, axis=1) * rho_b
-            sum_boundary = jnp.sum(glam, axis=1) * (
-                rho_b * (1.0 / rho_i_sq + p_ib_coeff / (rho_b * rho_b))
-            )[:, None]
+            rhob_glambda = G * rho_b
+            sum_boundary = G * (rho_b * (1.0 / rho_i_sq + p_ib_coeff / (rho_b * rho_b)))[:, None]
             lhs = mj_wij / rho_i_sq[:, None] + sum_boundary
             rhs = mj_wij / rho_i[:, None] + rhob_glambda / rho_i[:, None]
             return jnp.sum(lhs * rhs, -1) + mi * mj_wij_sq / rho_i_cu
 
-    # NoBoundary
     lhs = mj_wij / rho_i_sq[:, None]
     return jnp.sum(lhs * mj_wij, -1) / rho_i + mi * mj_wij_sq / rho_i_cu
 
@@ -231,9 +200,9 @@ def compute_aii(nb: Neighborhood, bt, position, mass, density, h, params: Simula
 # PPE source terms (simulation.rs:1633-1748)
 
 
-def source_term_divergence(nb, bt, position, velocity, mass, density, h, params, dt):
+def source_term_divergence(nb, cache, bst, velocity, mass, density, params, dt):
     """-div(v)/dt (simulation.rs:1633-1659)."""
-    div_v = divergence(nb, bt, velocity, jnp.zeros(2, jnp.float32), position, mass, density, h, params)
+    div_v = divergence(nb, cache, bst, velocity, jnp.zeros(2, jnp.float32), mass, density, params)
     return -div_v / dt
 
 
@@ -246,9 +215,9 @@ def source_term_only_density(density, params: SimulationParams, dt):
     return -(params.rest_density - density) / (next_rho * dt * dt)
 
 
-def source_term_full(nb, bt, position, velocity, mass, density, h, params, dt):
+def source_term_full(nb, cache, bst, velocity, mass, density, params, dt):
     """Full density+divergence source (simulation.rs:1712-1748)."""
-    div_v = divergence(nb, bt, velocity, jnp.zeros(2, jnp.float32), position, mass, density, h, params)
+    div_v = divergence(nb, cache, bst, velocity, jnp.zeros(2, jnp.float32), mass, density, params)
     if params.operator_discretization == OperatorDiscretization.Winchenbach2020:
         next_rho = jnp.full_like(density, params.rest_density)
     else:
@@ -256,9 +225,9 @@ def source_term_full(nb, bt, position, velocity, mass, density, h, params, dt):
     return -(params.rest_density - density) / (next_rho * dt * dt) - div_v / dt
 
 
-def source_term_full_with_omega(nb, bt, position, velocity, mass, density, h, omega, params, dt):
+def source_term_full_with_omega(nb, cache, bst, velocity, mass, density, omega, params, dt):
     """IISPH2 Omega-corrected source (simulation.rs:1678-1710)."""
-    div_v = divergence(nb, bt, velocity, jnp.zeros(2, jnp.float32), position, mass, density, h, params)
+    div_v = divergence(nb, cache, bst, velocity, jnp.zeros(2, jnp.float32), mass, density, params)
     next_rho = params.rest_density
     return -(params.rest_density - density) / (next_rho * dt * dt) - div_v / (dt * omega)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops import kernels
 from ..ops import neighbors as nbr
-from ..ops.pairwise import sym_sum
+from ..ops.edge_cache import build_edge_cache, reduce_edges, with_density
 from ..utils.params import (
     LevelEstimationMethod,
     ParticleSizes,
@@ -35,17 +35,11 @@ from .state import FluidState
 
 
 def estimate_h_next_from_distribution(
-    nb, bt, position, mass, h, params: SimulationParams, clamping_factor: Optional[float]
+    nb, cache, bt, mass, h, params: SimulationParams, clamping_factor: Optional[float]
 ):
     """V_est = (1 - min(lambda, 0.5)) / sum W_ij, blended 50/50 with old h
     (simulation.rs:1873-1930)."""
-
-    def edge(vi, vj):
-        diff = vi["pos"] - vj["pos"]
-        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-        return kernels.kernel_w(r, 0.5 * (vi["h"] + vj["h"]), dim=2)
-
-    w_sum = sym_sum(nb, {"pos": position, "h": h}, edge)
+    w_sum = reduce_edges(nb, cache.w, cache.w)
     bv = bnd.lambda_sum(bt)
     if bv is None:
         bv = jnp.zeros_like(w_sum)  # reference todo!()s for the particle handler
@@ -60,16 +54,13 @@ def estimate_h_next_from_distribution(
     return h_next
 
 
-def estimate_h_next_from_distribution2(nb, bt, position, mass, h, params: SimulationParams):
+def estimate_h_next_from_distribution2(nb, cache, bt, mass, h, params: SimulationParams):
     """V_est = V_i / (sum V_j W_ij + lambda) (simulation.rs:1932-1971)."""
-
-    def edge(vi, vj):
-        diff = vi["pos"] - vj["pos"]
-        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-        vj_vol = vj["mass"] / params.rest_density
-        return vj_vol * kernels.kernel_w(r, 0.5 * (vi["h"] + vj["h"]), dim=2)
-
-    v_w_sum = sym_sum(nb, {"pos": position, "mass": mass, "h": h}, edge)
+    v_w_sum = reduce_edges(
+        nb,
+        cache.mass_j / params.rest_density * cache.w,
+        (mass / params.rest_density)[:, None] * cache.w,
+    )
     bv = bnd.lambda_sum(bt)
     if bv is None:
         bv = jnp.zeros_like(v_w_sum)
@@ -137,6 +128,10 @@ def single_step_without_adaptivity(
     neighbor_count = nb.count
     diag["neighbor_overflow"] = (nb.row_overflow, nb.cell_overflow, nb.level_overflow)
 
+    # per-step edge cache over the physics neighborhood (kernels/gradients/distances
+    # computed once; every subsequent sweep reuses them)
+    cache = build_edge_cache(nb, pos, h_eff, state.mass)
+
     # 8. boundary update_after_advect (simulation.rs:2179-2180) — hoisted above the
     # h_next estimation because the distribution estimators consume boundary lambda
     # terms; the reference evaluates b.lambda_sum(i) from the *previous* step's terms
@@ -147,13 +142,13 @@ def single_step_without_adaptivity(
     if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
         sle = params.support_length_estimation
         if sle == SupportLengthEstimation.FromDistribution:
-            h_next = estimate_h_next_from_distribution(nb, bt, pos, state.mass, h_eff, params, None)
+            h_next = estimate_h_next_from_distribution(nb, cache, bt, state.mass, h_eff, params, None)
         elif sle == SupportLengthEstimation.FromDistributionClamped1:
-            h_next = estimate_h_next_from_distribution(nb, bt, pos, state.mass, h_eff, params, 1.0)
+            h_next = estimate_h_next_from_distribution(nb, cache, bt, state.mass, h_eff, params, 1.0)
         elif sle == SupportLengthEstimation.FromDistributionClamped2:
-            h_next = estimate_h_next_from_distribution(nb, bt, pos, state.mass, h_eff, params, 2.0)
+            h_next = estimate_h_next_from_distribution(nb, cache, bt, state.mass, h_eff, params, 2.0)
         elif sle == SupportLengthEstimation.FromDistribution2:
-            h_next = estimate_h_next_from_distribution2(nb, bt, pos, state.mass, h_eff, params)
+            h_next = estimate_h_next_from_distribution2(nb, cache, bt, state.mass, h_eff, params)
 
     # 7. neighborhood-count constraint ("Constrained Neighbor Lists",
     #    simulation.rs:2145-2177): shed excess neighbors by shrinking h now.
@@ -180,22 +175,26 @@ def single_step_without_adaptivity(
         h = jnp.where(need, h_constrained, h)
         h_eff = physics.effective_h(h, params)
         flag_reduced = need
+        # h changed -> kernel cache is stale; rebuild (constraint mode only)
+        cache = build_edge_cache(nb, pos, h_eff, state.mass)
 
     # 9. CFL dt (simulation.rs:2182-2191)
     dt = physics.cfl_dt(state.velocity, h, alive, params)
     diag["dt"] = dt
 
     # 10. density (simulation.rs:2204)
-    density = physics.compute_density(nb, bt, pos, state.mass, h_eff, params)
+    density = physics.compute_density(nb, cache, bt, pos, h_eff, params, state.mass)
     density = jnp.where(alive, density, 1.0)
+    cache = with_density(cache, nb, density)
+    bst = bnd.solver_terms(bt, pos, h, params)
 
     # 11. constant field diagnostic (simulation.rs:2235-2248)
     constant_field = physics.compute_constant_field(
-        nb, bt, pos, state.mass, density, h_eff, params
+        nb, cache, bt, pos, h_eff, params, state.mass, density
     )
 
     # 12. a_ii (simulation.rs:2250-2259)
-    aii = physics.compute_aii(nb, bt, pos, state.mass, density, h_eff, params)
+    aii = physics.compute_aii(nb, cache, bt, bst, state.mass, density, params)
     aii = jnp.where(alive, aii, 0.0)
     diag["negative_aii"] = jnp.sum(alive & (aii < 0.0))
 
@@ -208,7 +207,7 @@ def single_step_without_adaptivity(
 
     # 13. pressure solve + integrate (simulation.rs:2261-2671)
     st = state.replace(density=density, aii=aii, h=h)
-    new_fields, sdiag = solver.solve_and_integrate(nb, bt, st, h_eff, dt, params)
+    new_fields, sdiag = solver.solve_and_integrate(nb, cache, bst, st, h_eff, dt, params)
     diag.update(sdiag)
 
     pos2 = jnp.where(alive[:, None], new_fields["position"], pos)

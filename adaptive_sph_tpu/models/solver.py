@@ -48,11 +48,10 @@ class SolveResult(NamedTuple):
 
 def iisph_pressure_iterations(
     nb: Neighborhood,
-    bt,
-    position,
+    cache,
+    bst,
     mass,
     density,
-    h,
     aii,
     ppe_source_term,
     alive,
@@ -62,8 +61,12 @@ def iisph_pressure_iterations(
     params: SimulationParams,
     dt,
 ) -> SolveResult:
-    """Jacobi sweeps until `avg_err < tol` with the >=2-iterations rule (simulation.rs:1405-1480)."""
-    C = position.shape[0]
+    """Jacobi sweeps until `avg_err < tol` with the >=2-iterations rule (simulation.rs:1405-1480).
+
+    Runs over the per-step EdgeCache + factored boundary terms: each sweep is one
+    (C, K) gather of pressure, one of the acceleration field, fused arithmetic, and
+    two sorted segment-sums."""
+    C = mass.shape[0]
     zero_q = jnp.zeros(2, jnp.float32)
 
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
@@ -71,8 +74,8 @@ def iisph_pressure_iterations(
     w = jnp.float32(params.jacobi_omega)
 
     def one_sweep(pressure):
-        accel = physics.pressure_accel(nb, bt, position, mass, pressure, density, h, params)
-        a_p = physics.divergence(nb, bt, accel, zero_q, position, mass, density, h, params)
+        accel = physics.pressure_accel(nb, cache, bst, pressure, mass, density, params)
+        a_p = physics.divergence(nb, cache, bst, accel, zero_q, mass, density, params)
         s = ppe_source_term
 
         p_next = pressure + w * (s - a_p) / aii_safe
@@ -143,9 +146,7 @@ def iisph_pressure_iterations(
     out = jax.lax.while_loop(cond, body, init)
 
     # final pressure-accel recompute with the converged pressure (simulation.rs:1499-1509)
-    final_accel = physics.pressure_accel(
-        nb, bt, position, mass, out["pressure"], density, h, params
-    )
+    final_accel = physics.pressure_accel(nb, cache, bst, out["pressure"], mass, density, params)
     return SolveResult(
         pressure=out["pressure"],
         pressure_accel=final_accel,
@@ -159,24 +160,20 @@ def iisph_pressure_iterations(
     )
 
 
-def compute_omega_iisph2(nb: Neighborhood, position, mass, density, h, size_class, params):
+def compute_omega_iisph2(nb: Neighborhood, cache, mass, density, h, size_class, params):
     """Per-particle Omega = 1 + H_i/(3 rho_i) sum_j m_j dW/dH (simulation.rs:2262-2311).
 
     `Large` particles use the self-term approximation with d=0 (simulation.rs:2278-2288).
     Clamped to [0.125, 2.5].
     """
-    from ..ops.pairwise import sym_sum
+    from ..ops.edge_cache import reduce_edges
     from .state import SIZE_LARGE
 
     srbs = kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
 
-    def edge(vi, vj):
-        x_ij = vi["pos"] - vj["pos"]
-        d = jnp.sqrt(jnp.sum(x_ij * x_ij, -1) + 1e-30)
-        H_ij = 0.5 * (vi["h"] + vj["h"]) * srbs
-        return vj["mass"] * kernels.kernel_dw_dH(d, H_ij, dim=2)
-
-    sum_term = sym_sum(nb, {"pos": position, "mass": mass, "h": h}, edge)
+    H_ij = cache.h_ij * srbs
+    dwdh = kernels.kernel_dw_dH(cache.r, H_ij, dim=2)
+    sum_term = reduce_edges(nb, cache.mass_j * dwdh, mass[:, None] * dwdh)
 
     H_i = h * srbs
     omega_neigh = 1.0 + H_i / (3.0 * density) * sum_term
@@ -188,43 +185,44 @@ def compute_omega_iisph2(nb: Neighborhood, position, mass, density, h, size_clas
     return jnp.clip(omega, 0.125, 2.5)
 
 
-def solve_and_integrate(nb, bt, state, h, dt, params: SimulationParams):
+def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
     """Pressure-solver dispatch + position/velocity integration (simulation.rs:2261-2671).
 
-    `state` is a FluidState with this step's density/aii already computed; `h` is the
-    effective smoothing-length array. Returns (new_state_fields dict, diagnostics dict).
+    `state` is a FluidState with this step's density/aii already computed; `cache` the
+    per-step EdgeCache (with rho_j), `bst` the factored boundary solver terms.
+    Returns (new_state_fields dict, diagnostics dict).
     """
     pos, vel = state.position, state.velocity
     mass, rho, alive = state.mass, state.density, state.alive
     diag = {}
 
     def nonpressure(vel_in):
-        acc = physics.non_pressure_accel(nb, pos, vel_in, rho, mass, h, params)
+        acc = physics.non_pressure_accel(nb, cache, pos, vel_in, rho, mass, params)
         return vel_in + dt * acc
 
     method = params.pressure_solver_method
 
     if method in (PressureSolverMethod.IISPH, PressureSolverMethod.IISPH2):
         if method == PressureSolverMethod.IISPH2:
-            omega = compute_omega_iisph2(nb, pos, mass, rho, h, state.size_class, params)
+            omega = compute_omega_iisph2(nb, cache, mass, rho, h, state.size_class, params)
         else:
             omega = state.omega
         vel = nonpressure(vel)
         if method == PressureSolverMethod.IISPH2:
             src = physics.source_term_full_with_omega(
-                nb, bt, pos, vel, mass, rho, h, omega, params, dt
+                nb, cache, bst, vel, mass, rho, omega, params, dt
             )
         else:
-            src = physics.source_term_full(nb, bt, pos, vel, mass, rho, h, params, dt)
+            src = physics.source_term_full(nb, cache, bst, vel, mass, rho, params, dt)
         res = iisph_pressure_iterations(
-            nb, bt, pos, mass, rho, h, state.aii, src, alive,
+            nb, cache, bst, mass, rho, state.aii, src, alive,
             params.iisph_max_avg_density_error, DENSITY_ERROR, True, params, dt,
         )
         pressure = res.pressure
         accel = res.pressure_accel
         if method == PressureSolverMethod.IISPH2:
             pressure = pressure / jnp.sqrt(omega)  # simulation.rs:2358-2360
-            accel = physics.pressure_accel(nb, bt, pos, mass, pressure, rho, h, params)
+            accel = physics.pressure_accel(nb, cache, bst, pressure, mass, rho, params)
         vel = vel + dt * accel
         pos = pos + dt * vel
         diag["density_iterations"] = res.iterations
@@ -239,9 +237,9 @@ def solve_and_integrate(nb, bt, state, h, dt, params: SimulationParams):
 
     if method == PressureSolverMethod.OnlyDivergence:
         vel = nonpressure(vel)
-        src = physics.source_term_divergence(nb, bt, pos, vel, mass, rho, h, params, dt)
+        src = physics.source_term_divergence(nb, cache, bst, vel, mass, rho, params, dt)
         res = iisph_pressure_iterations(
-            nb, bt, pos, mass, rho, h, state.aii, src, alive,
+            nb, cache, bst, mass, rho, state.aii, src, alive,
             params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR, True, params, dt,
         )
         vel = vel + dt * res.pressure_accel
@@ -261,9 +259,9 @@ def solve_and_integrate(nb, bt, state, h, dt, params: SimulationParams):
         vel = nonpressure(vel)
 
     # divergence-free solve -> velocity update only (simulation.rs:2517-2560)
-    src = physics.source_term_divergence(nb, bt, pos, vel, mass, rho, h, params, dt)
+    src = physics.source_term_divergence(nb, cache, bst, vel, mass, rho, params, dt)
     res_div = iisph_pressure_iterations(
-        nb, bt, pos, mass, rho, h, state.aii, src, alive,
+        nb, cache, bst, mass, rho, state.aii, src, alive,
         params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR, True, params, dt,
     )
     vel = vel + dt * res_div.pressure_accel
@@ -275,11 +273,11 @@ def solve_and_integrate(nb, bt, state, h, dt, params: SimulationParams):
 
     # density solve (simulation.rs:2578-2620)
     if params.hybrid_dfsph_density_source_term == HybridDfsphDensitySourceTerm.DensityAndDivergence:
-        src2 = physics.source_term_full(nb, bt, pos, vel, mass, rho, h, params, dt)
+        src2 = physics.source_term_full(nb, cache, bst, vel, mass, rho, params, dt)
     else:
         src2 = physics.source_term_only_density(rho, params, dt)
     res_den = iisph_pressure_iterations(
-        nb, bt, pos, mass, rho, h, state.aii, src2, alive,
+        nb, cache, bst, mass, rho, state.aii, src2, alive,
         params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR, True, params, dt,
     )
     diag["density_iterations"] = res_den.iterations
