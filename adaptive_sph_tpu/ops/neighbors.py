@@ -168,9 +168,13 @@ def build_neighborhood(position, h, alive, radius_scale, cfg: NeighborConfig) ->
     row_overflow = jnp.int32(0)
     cell_overflow = jnp.int32(0)
 
-    offsets = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
     assert D == 2, "3D shares the same seams as the reference (Sdf3D/lambda3 todo)"
 
+    # 3x3 window offsets vectorized as one axis (keeps the HLO small: one
+    # searchsorted/gather block per level instead of nine)
+    off = jnp.asarray(
+        [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)], dtype=jnp.int32
+    )  # (9, 2)
     arange_mpc = jnp.arange(MPC, dtype=jnp.int32)
 
     for l in range(L):
@@ -188,35 +192,30 @@ def build_neighborhood(position, h, alive, radius_scale, cfg: NeighborConfig) ->
 
         query = alive & (level <= l)
 
-        cand_idx_parts = []
-        cand_valid_parts = []
-        for ox, oy in offsets:
-            ncid = (ci[:, 0] + ox) + (ci[:, 1] + oy) * width
-            start = jnp.searchsorted(sorted_ids, ncid, side="left").astype(jnp.int32)
-            window = start[:, None] + arange_mpc[None, :]
-            window_c = jnp.minimum(window, C - 1)
-            cand_ids = sorted_ids[window_c]
-            cand_idx = order[window_c]
-            valid = (cand_ids == ncid[:, None]) & query[:, None] & (window < C)
+        ncid = (ci[:, 0:1] + off[None, :, 0]) + (ci[:, 1:2] + off[None, :, 1]) * width  # (C, 9)
+        start = jnp.searchsorted(sorted_ids, ncid.reshape(-1), side="left").astype(jnp.int32)
+        start = start.reshape(C, 9)
+        window = start[:, :, None] + arange_mpc[None, None, :]  # (C, 9, MPC)
+        window_c = jnp.minimum(window, C - 1)
+        cand_ids = sorted_ids[window_c]
+        cand_idx = order[window_c]
+        valid = (cand_ids == ncid[:, :, None]) & query[:, None, None] & (window < C)
 
-            # cell overflow: an MPC+1-th member exists in this cell
-            over_pos = jnp.minimum(start + MPC, C - 1)
-            over = query & (start + MPC < C) & (sorted_ids[over_pos] == ncid)
-            cell_overflow = jnp.maximum(cell_overflow, jnp.any(over).astype(jnp.int32))
+        # cell overflow: an MPC+1-th member exists in some cell
+        over_pos = jnp.minimum(start + MPC, C - 1)
+        over = query[:, None] & (start + MPC < C) & (sorted_ids[over_pos] == ncid)
+        cell_overflow = jnp.maximum(cell_overflow, jnp.any(over).astype(jnp.int32))
 
-            # exact interaction test: |x_ij| < radius_scale * (h_i + h_j)/2
-            xj = position[cand_idx]
-            hj = h[cand_idx]
-            diff = position[:, None, :] - xj
-            r2 = jnp.sum(diff * diff, axis=-1)
-            s_ij = radius_scale * 0.5 * (h[:, None] + hj)
-            valid = valid & (r2 < s_ij * s_ij)
+        cand_idx_l = cand_idx.reshape(C, 9 * MPC)
+        valid = valid.reshape(C, 9 * MPC)
 
-            cand_idx_parts.append(cand_idx)
-            cand_valid_parts.append(valid)
-
-        cand_idx_l = jnp.concatenate(cand_idx_parts, axis=1)
-        cand_valid_l = jnp.concatenate(cand_valid_parts, axis=1)
+        # exact interaction test: |x_ij| < radius_scale * (h_i + h_j)/2
+        xj = position[cand_idx_l]
+        hj = h[cand_idx_l]
+        diff = position[:, None, :] - xj
+        r2 = jnp.sum(diff * diff, axis=-1)
+        s_ij = radius_scale * 0.5 * (h[:, None] + hj)
+        cand_valid_l = valid & (r2 < s_ij * s_ij)
 
         # merge this level's candidates into the running top-K rows (stable compaction)
         all_idx = jnp.concatenate([out_idx, cand_idx_l], axis=1)

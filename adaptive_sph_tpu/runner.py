@@ -98,8 +98,17 @@ def neighbor_config_for(
     capacity: int,
     row_width: Optional[int] = None,
     max_per_cell: Optional[int] = None,
+    mass_range: Optional[tuple] = None,
 ) -> NeighborConfig:
-    levels = params_mod.num_levels_for(params)
+    if params.particle_sizes == ParticleSizes.Uniform:
+        levels = 1
+    elif mass_range is not None and not (params.splitting or params.merging or params.sharing):
+        # adaptivity off: masses are constant, so the exact level count follows from
+        # the initial size ratio (h ~ sqrt(mass) in 2D)
+        ratio = float(np.sqrt(mass_range[1] / max(mass_range[0], 1e-30)))
+        levels = max(1, int(np.ceil(np.log2(max(ratio, 1.0)))) + 1)
+    else:
+        levels = params_mod.num_levels_for(params)
     if row_width is None:
         # optimal count ~14.4; extended level-estimation search needs
         # (level_estimation_range / (ETA * 2))^2 more; adaptive interfaces add headroom
@@ -128,7 +137,9 @@ def create_simulation(
         params, scene.blocks[0].spacing, scene.blocks[0].volume_fill_ratio
     )
     state = scene_mod.init_fluid_state(scene, params, capacity)
-    ncfg = neighbor_config_for(params, state.capacity, row_width)
+    masses = np.asarray(state.mass)[np.asarray(state.alive)]
+    mass_range = (float(masses.min()), float(masses.max())) if masses.size else None
+    ncfg = neighbor_config_for(params, state.capacity, row_width, mass_range=mass_range)
     boundary_handler = scene_mod.make_boundary_handler(scene, params)
 
     if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
