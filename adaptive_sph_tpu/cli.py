@@ -33,6 +33,10 @@ def main(argv=None):
     p_run.add_argument("--vtk-dir", default=None, help="export VTK snapshots to this dir")
     p_run.add_argument("--vtk-every", type=int, default=1)
     p_run.add_argument("--snapshot-png", default=None, help="render the final state to PNG")
+    p_run.add_argument("--web-dir", default=None, help="export a browser viewer (HTML + frames)")
+    p_run.add_argument("--web-every", type=int, default=2)
+    p_run.add_argument("--checkpoint", default=None, help="save final state to this .npz")
+    p_run.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
 
     p_img = sub.add_parser("image", help="Offline image/video export")
     p_img.add_argument("export_configs", nargs="+")
@@ -73,11 +77,25 @@ def cmd_run(args):
     sim = create_simulation(params, scene, counters_enabled=True)
     print(f"INIT {sim.num_fluid_particles} FLUID PARTICLES")
 
+    if args.resume:
+        from .utils.checkpoint import load_state
+
+        sim.state = load_state(args.resume, capacity=sim.state.capacity)
+        print(f"resumed from {args.resume} at t={sim.time:.4f}s n={sim.num_fluid_particles}")
+
     vtk = None
     if args.vtk_dir:
         from .utils.vtk import VtkExporter
 
         vtk = VtkExporter(args.vtk_dir, "adaptive-sph-tpu")
+
+    web = None
+    if args.web_dir:
+        from .utils.render import boundary_segments
+        from .utils.web_export import WebExporter
+
+        web = WebExporter(args.web_dir, scene_width=2.0)
+        web.set_boundary_segments(boundary_segments(sim.boundary_handler))
 
     step = 0
     try:
@@ -100,12 +118,34 @@ def cmd_run(args):
                 vtk.add_snapshot(
                     sim.time, take_snapshot(sim.state), boundary_segments(sim.boundary_handler)
                 )
+            if web is not None and step % args.web_every == 0:
+                from .ops.kernels import sphere_volume_to_radius
+                from .utils.colors import VisualizationParams, colors_for_particles
+                from .utils.snapshot import take_snapshot
+
+                snap = take_snapshot(sim.state, sim.params)
+                colors = colors_for_particles(snap, sim.params, VisualizationParams())
+                import numpy as _np
+
+                radii = _np.asarray(
+                    sphere_volume_to_radius(snap["mass"] / sim.params.rest_density, 2)
+                )
+                web.add_frame(
+                    sim.time, snap["position"], radii, (colors * 255).astype("uint8")
+                )
             if args.max_seconds is not None and sim.time >= args.max_seconds:
                 break
     except SimulationFailed as e:
         print(f"SIMULATION FAILED: {e}", file=sys.stderr)
         return 2
     finally:
+        if web is not None:
+            web.finalize()
+            print(f"web viewer written to {args.web_dir}/index.html")
+        if args.checkpoint:
+            from .utils.checkpoint import save_state
+
+            save_state(args.checkpoint, sim.state)
         if args.statistics_enabled:
             s = stats_mod.write_statistics(sim.counters)
             print(s, end="")

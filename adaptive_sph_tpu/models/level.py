@@ -6,9 +6,12 @@ Reference parity: simulation.rs:539-927 —
   iterative level propagation to a fixpoint (:729-801),
   volume-weighted field smoothing (:803-857, Winchenbach sec 5.1).
 
-The propagation loop is a BFS wavefront: each sweep, still-Interior particles adopt
-max_j(level_j - |x_ij|) over already-assigned neighbors; runs as a lax.while_loop with
-an on-device change flag (the reference's AtomicBool, simulation.rs:742-743).
+The propagation loop is a BFS wavefront (Bellman-Ford over the particle graph with
+edge weights |x_ij|): each sweep, still-Interior particles adopt
+max_j(level_j - |x_ij|) over already-assigned neighbors; it runs as a lax.while_loop
+with an on-device change flag (the reference's AtomicBool, simulation.rs:742-743).
+All static per-edge quantities (distances, kernels, gradients, range masks) come from
+a per-step EdgeCache so a sweep is just one (C, K) gather + max-reduce + segment-max.
 """
 
 from __future__ import annotations
@@ -17,8 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import kernels
+from ..ops.edge_cache import EdgeCache, reduce_edges
 from ..ops.neighbors import Neighborhood
-from ..ops.pairwise import sym_max, sym_sum
 from ..utils.params import (
     FillStashWith,
     LevelEstimationMethod,
@@ -39,48 +42,55 @@ def _range_check_needed(params: SimulationParams) -> bool:
     )
 
 
-def _in_range(vi, vj, params: SimulationParams):
-    """|x_ji|^2 <= (particle_radius_i * maximum_range)^2; radius from mass (simulation.rs:705-718)."""
+def _range_masks(nb: Neighborhood, cache: EdgeCache, mass, params: SimulationParams):
+    """Receiver-side |x_ij| <= r_receiver * maximum_range masks for both edge
+    directions (simulation.rs:705-718). True everywhere when the check is off."""
     if not _range_check_needed(params):
-        return True
-    xji = vj["pos"] - vi["pos"]
-    r = kernels.sphere_volume_to_radius(vi["mass"] / params.rest_density, dim=2)
-    lim = r * params.maximum_range
-    return jnp.sum(xji * xji, -1) <= lim * lim
+        t = jnp.ones_like(cache.r, dtype=bool)
+        return t, t
+    radius = kernels.sphere_volume_to_radius(mass / params.rest_density, dim=2)
+    lim_i = radius[:, None] * params.maximum_range  # receiver = row particle
+    lim_j = radius[nb.idx] * params.maximum_range  # receiver = column particle
+    return cache.r <= lim_i, cache.r <= lim_j
+
+
+def _seg_max(nb: Neighborhood, edge_vals, fill):
+    """Segment-max of reversed (cross) edge values into their targets."""
+    C, K = nb.idx.shape
+    flat = jnp.where(nb.cross.reshape(-1), edge_vals.reshape(-1), fill)
+    permuted = flat[nb.bwd_perm]
+    seg = jax.ops.segment_max(permuted, nb.bwd_seg, num_segments=C + 1, indices_are_sorted=True)
+    return jnp.maximum(seg[:C], fill)
 
 
 def detect_surface_empty_angle(
-    nb: Neighborhood, bt, position, mass, h, alive, params: SimulationParams
+    nb: Neighborhood, cache: EdgeCache, bt, mass, h, alive, params: SimulationParams
 ):
-    """EmptyAngle detector (simulation.rs:539-625).
-
-    Returns (level, has_level, flag_is_fluid_surface, flag_insufficient_neighs);
-    has_level=True means FluidSurface(level=0), False means FluidInterior.
-    """
-    vals = {"pos": position, "mass": mass, "h": h}
-
-    def normal_edge(vi, vj):
-        dg = kernels.kernel_grad(vi["pos"] - vj["pos"], 0.5 * (vi["h"] + vj["h"]), dim=2)
-        # note: the reference uses mass[i] (the receiver), not mass[j] (simulation.rs:565)
-        return -(vi["mass"] / params.rest_density)[..., None] * dg
-
-    normal = sym_sum(nb, vals, normal_edge)
+    """EmptyAngle detector (simulation.rs:539-625)."""
+    # normal_i = -sum_j (m_i / rho0) grad W_ij — note: the reference uses mass[i]
+    # (the receiver), not mass[j] (simulation.rs:565)
+    normal = reduce_edges(
+        nb,
+        fwd=-(mass / params.rest_density)[:, None, None] * cache.grad,
+        # reversed edge: receiver is the column particle j -> its own mass m_j and
+        # grad W(x_j - x_i) = -grad
+        bwd=(cache.mass_j / params.rest_density)[..., None] * cache.grad,
+    )
 
     threshold = jnp.float32(jnp.cos(50.0 * jnp.pi / 180.0))
     norm2 = jnp.sum(normal * normal, -1)
     unit_normal = normal / jnp.sqrt(jnp.maximum(norm2, 1e-30))[:, None]
 
-    def cone_edge(vi, vj):
-        xji = vj["pos"] - vi["pos"]
-        xji = xji / (jnp.sqrt(jnp.sum(xji * xji, -1)) + 1e-6)[..., None]
-        d = jnp.sum(xji * vi["un"], -1)
-        hit = d > threshold
-        if _range_check_needed(params):
-            hit = hit & _in_range(vi, vj, params)
-        return jnp.where(hit, 1.0, 0.0)
-
-    cone_hit = (
-        sym_max(nb, {**vals, "un": unit_normal}, cone_edge, fill=jnp.float32(0.0)) > 0.5
+    # cone test: any neighbor with normalized x_ji . n_i > cos(50deg) (range-checked)
+    rng_i, rng_j = _range_masks(nb, cache, mass, params)
+    xji_unit = -cache.diff / (cache.r + 1e-6)[..., None]
+    dot_fwd = jnp.sum(xji_unit * unit_normal[:, None, :], -1)
+    hit_fwd = nb.mask & rng_i & (dot_fwd > threshold)
+    # reversed edge: x_ij_unit . n_j
+    dot_bwd = jnp.sum((cache.diff / (cache.r + 1e-6)[..., None]) * unit_normal[nb.idx], -1)
+    hit_bwd = rng_j & (dot_bwd > threshold)
+    cone_hit = jnp.any(hit_fwd, axis=1) | (
+        _seg_max(nb, hit_bwd.astype(jnp.float32), jnp.float32(0.0)) > 0.5
     )
 
     insufficient = nb.count < (2 * 2 - 1)  # D*2-1 with D=2
@@ -89,8 +99,8 @@ def detect_surface_empty_angle(
     near_boundary = jnp.zeros_like(symmetric)
     dist_b = bnd.distance_to_boundary(bt)
     if (not params.boundary_is_fluid_surface) and dist_b is not None:
-        # raw per-particle h (zero in uniform builds -> condition never fires, as in the
-        # reference where the h vec is zero-filled under uniform sizes)
+        # raw per-particle h (zero in uniform builds -> condition never fires, matching
+        # the reference where the h vec is zero-filled under uniform sizes)
         near_boundary = dist_b < h * 1.5
 
     is_interior = jnp.where(
@@ -105,22 +115,29 @@ def detect_surface_empty_angle(
     return level, has_level, is_surface & alive, insufficient & alive
 
 
-def detect_surface_center_diff(nb: Neighborhood, position, mass, h, alive, params):
+def detect_surface_center_diff(nb: Neighborhood, cache: EdgeCache, position, mass, alive, params):
     """CenterDiff detector (simulation.rs:630-695)."""
+    vol_j = cache.mass_j / params.rest_density
+    r_j = kernels.sphere_volume_to_radius(vol_j, dim=2)
+    wv_f = cache.w * vol_j
+    vol_i = (mass / params.rest_density)[:, None]
+    r_i = kernels.sphere_volume_to_radius(vol_i, dim=2)
+    wv_b = cache.w * vol_i
 
-    def edge(vi, vj):
-        vol_j = vj["mass"] / params.rest_density
-        r_j = kernels.sphere_volume_to_radius(vol_j, dim=2)
-        diff = vi["pos"] - vj["pos"]
-        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-        w = kernels.kernel_w(r, 0.5 * (vi["h"] + vj["h"]), dim=2) * vol_j
-        return {
-            "w_sum": w,
-            "avg_center": w[..., None] * vj["pos"],
-            "avg_radius": w * r_j,
-        }
-
-    sums = sym_sum(nb, {"pos": position, "mass": mass, "h": h}, edge)
+    pos_j = position[nb.idx]
+    sums = reduce_edges(
+        nb,
+        fwd={
+            "w_sum": wv_f,
+            "avg_center": wv_f[..., None] * pos_j,
+            "avg_radius": wv_f * r_j,
+        },
+        bwd={
+            "w_sum": wv_b,
+            "avg_center": wv_b[..., None] * jnp.broadcast_to(position[:, None, :], pos_j.shape),
+            "avg_radius": wv_b * r_i,
+        },
+    )
     w_sum = jnp.maximum(sums["w_sum"], 1e-30)
     avg_radius = sums["avg_radius"] / w_sum
     surface_level = -0.85 * avg_radius
@@ -135,26 +152,28 @@ def detect_surface_center_diff(nb: Neighborhood, position, mass, h, alive, param
 
 
 def propagate_levels(
-    nb: Neighborhood, position, mass, h, alive, level, has_level, stash, params: SimulationParams
+    nb: Neighborhood, cache: EdgeCache, mass, alive, level, has_level, stash,
+    params: SimulationParams,
 ):
     """Iterative wavefront propagation to a fixpoint (simulation.rs:729-801).
 
-    Particles that receive an estimate keep it (they become FluidSurface and are
-    copied verbatim in later sweeps). Optionally snapshots the field into `stash`
-    after the first sweep (FillStashWith::SurfaceDistanceMiddle).
+    Assigned particles keep their value (copied verbatim in later sweeps). Optionally
+    snapshots the field into `stash` after the first sweep
+    (FillStashWith::SurfaceDistanceMiddle).
     """
-    vals = {"pos": position, "mass": mass}
+    rng_i, rng_j = _range_masks(nb, cache, mass, params)
+    fwd_ok = nb.mask & rng_i
+    idx = nb.idx
 
     def one_sweep(level, has_level):
-        def edge(vi, vj):
-            xij = jnp.sqrt(jnp.sum((vj["pos"] - vi["pos"]) ** 2, -1) + 1e-30)
-            est = vj["lvl"] - xij
-            ok = vj["has"]
-            if _range_check_needed(params):
-                ok = ok & _in_range(vi, vj, params)
-            return jnp.where(ok, est, NEG_INF)
+        lvl_j = level[idx]
+        has_j = has_level[idx]
+        est_f = jnp.where(fwd_ok & has_j, lvl_j - cache.r, NEG_INF)
+        est = jnp.max(est_f, axis=1)
+        # reversed edges: j receives level_i - r when i is assigned (range per receiver j)
+        est_b = jnp.where(rng_j & has_level[:, None], level[:, None] - cache.r, NEG_INF)
+        est = jnp.maximum(est, _seg_max(nb, jnp.broadcast_to(est_b, cache.r.shape), NEG_INF))
 
-        est = sym_max(nb, {**vals, "lvl": level, "has": has_level.astype(bool)}, edge, fill=NEG_INF)
         newly = (~has_level) & (est > NEG_INF * 0.5) & alive
         return jnp.where(newly, est, level), has_level | newly, jnp.any(newly)
 
@@ -176,33 +195,23 @@ def propagate_levels(
 
 
 def smooth_level_field(
-    nb: Neighborhood, position, mass, density, h, level, has_level, params: SimulationParams
+    nb: Neighborhood, cache: EdgeCache, mass, density, level, has_level,
+    params: SimulationParams,
 ):
-    """Volume-weighted SPH smoothing of the clamped level field (simulation.rs:803-857)."""
+    """Volume-weighted SPH smoothing of the clamped level field (simulation.rs:803-857).
 
-    def edge(vi, vj):
-        diff = vi["pos"] - vj["pos"]
-        r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-        w = kernels.kernel_w(r, 0.5 * (vi["h"] + vj["h"]), dim=2)
-        dist = jnp.where(
-            vj["has"],
-            jnp.maximum(vj["lvl"], -params.maximum_surface_distance),
-            -params.maximum_surface_distance,
-        )
-        vw = vj["mass"] / vj["rho"] * w
-        return {"level": dist * vw, "weight": vw}
+    Runs on the *filtered* neighborhood with this step's densities (cache has rho_j).
+    """
+    max_depth = -params.maximum_surface_distance
+    dist_j = jnp.where(has_level[nb.idx], jnp.maximum(level[nb.idx], max_depth), max_depth)
+    dist_i = jnp.where(has_level, jnp.maximum(level, max_depth), max_depth)[:, None]
+    vw_f = cache.mass_j / cache.rho_j * cache.w
+    vw_b = (mass / density)[:, None] * cache.w
 
-    sums = sym_sum(
+    sums = reduce_edges(
         nb,
-        {
-            "pos": position,
-            "mass": mass,
-            "rho": density,
-            "h": h,
-            "lvl": level,
-            "has": has_level.astype(bool),
-        },
-        edge,
+        fwd={"level": dist_j * vw_f, "weight": vw_f},
+        bwd={"level": dist_i * vw_b, "weight": vw_b},
     )
     weight = jnp.maximum(sums["weight"], 1e-30)
     new_level = sums["level"] / weight
@@ -210,7 +219,8 @@ def smooth_level_field(
 
 
 def perform_level_estimation(
-    nb: Neighborhood, bt, position, mass, density, h, alive, stash, params: SimulationParams
+    nb: Neighborhood, cache: EdgeCache, bt, position, mass, h, alive, stash,
+    params: SimulationParams,
 ):
     """Detect + propagate (simulation.rs:862-927). Returns
     (level, has_level, flag_surface, flag_insufficient, stash)."""
@@ -222,11 +232,11 @@ def perform_level_estimation(
 
     if params.level_estimation_method == LevelEstimationMethod.EmptyAngle:
         level, has_level, flag_surface, flag_insufficient = detect_surface_empty_angle(
-            nb, bt, position, mass, h, alive, params
+            nb, cache, bt, mass, h, alive, params
         )
     else:
         level, has_level, flag_surface = detect_surface_center_diff(
-            nb, position, mass, h, alive, params
+            nb, cache, position, mass, alive, params
         )
         flag_insufficient = jnp.zeros_like(flag_surface)
 
@@ -234,6 +244,6 @@ def perform_level_estimation(
         stash = jnp.where(has_level, level, -params.maximum_surface_distance)
 
     level, has_level, stash = propagate_levels(
-        nb, position, mass, h, alive, level, has_level, stash, params
+        nb, cache, mass, alive, level, has_level, stash, params
     )
     return level, has_level, flag_surface, flag_insufficient, stash

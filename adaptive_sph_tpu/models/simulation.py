@@ -110,10 +110,11 @@ def single_step_without_adaptivity(
         )
         ext_scale = jnp.float32(params.level_estimation_range / kernels.ETA)
         nb = nbr.build_neighborhood(pos, h_eff, alive, ext_scale, ncfg)
+        ext_cache = build_edge_cache(nb, pos, h_eff, state.mass)
         bt_lvl = boundary_handler.update_after_advect(pos, h, params)
         level, has_level, flag_surface, flag_insufficient, stash = (
             level_mod.perform_level_estimation(
-                nb, bt_lvl, pos, state.mass, state.density, h_eff, alive, stash, params
+                nb, ext_cache, bt_lvl, pos, state.mass, h_eff, alive, stash, params
             )
         )
         nb = nbr.filter_down(
@@ -220,23 +221,24 @@ def single_step_without_adaptivity(
             nb_lvl = nbr.build_neighborhood(pos2, h_eff, alive, ext_scale, ncfg)
         else:
             nb_lvl = nb
+        lvl_cache = build_edge_cache(nb_lvl, pos2, h_eff, state.mass)
         bt2 = boundary_handler.update_after_advect(pos2, h, params)
         level, has_level, flag_surface, flag_insufficient, stash = (
             level_mod.perform_level_estimation(
-                nb_lvl, bt2, pos2, state.mass, density, h_eff, alive, stash, params
+                nb_lvl, lvl_cache, bt2, pos2, state.mass, h_eff, alive, stash, params
             )
         )
         nb_smooth = nb_lvl
-        pos_smooth = pos2
+        smooth_cache = with_density(lvl_cache, nb_lvl, density)
     else:
         nb_smooth = nb
-        pos_smooth = pos  # smoothing uses the pre-advection neighborhood/positions
+        smooth_cache = cache  # filtered neighborhood, pre-advection positions
 
     # 15. level-field smoothing (simulation.rs:2709-2722)
     level_old = state.level_old
     if do_levels:
         level, has_level = level_mod.smooth_level_field(
-            nb_smooth, pos_smooth, state.mass, density, h_eff, level, has_level, params
+            nb_smooth, smooth_cache, state.mass, density, level, has_level, params
         )
         level_old = level
 

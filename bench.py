@@ -46,18 +46,34 @@ def build_sim():
 
 
 def main():
+    import os
+    import sys
+
+    verbose = bool(os.environ.get("ASPH_BENCH_VERBOSE"))
+    t0 = time.perf_counter()
     sim = build_sim()
     n = sim.num_fluid_particles
 
     # warmup: compile + let the solver reach steady behavior
-    for _ in range(3):
-        sim.step()
+    for k in range(3):
+        tw = time.perf_counter()
+        d = sim.step()
+        if verbose:
+            print(
+                f"warmup {k}: {time.perf_counter()-tw:.2f}s "
+                f"div={int(d.get('div_iterations', 0))} den={int(d.get('density_iterations', 0))}",
+                file=sys.stderr, flush=True,
+            )
+    if verbose:
+        print(f"setup+warmup total: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     steps = 60
     t0 = time.perf_counter()
     for _ in range(steps):
         sim.step()
     elapsed = time.perf_counter() - t0
+    if verbose:
+        print(f"{elapsed/steps*1000:.1f} ms/step", file=sys.stderr)
 
     updates_per_sec = n * steps / elapsed
     print(
