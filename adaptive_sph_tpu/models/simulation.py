@@ -102,7 +102,9 @@ def single_step_without_adaptivity(
     stash = state.stash
     flag_surface, flag_insufficient = state.flag_is_fluid_surface, state.flag_insufficient_neighs
 
-    do_levels = params.level_estimation_method != LevelEstimationMethod.NoneMethod
+    # dead-code-elimination of the level pipeline when nothing consumes it
+    # (reference always computes it; see SimulationParams.level_estimation_active)
+    do_levels = params.level_estimation_active()
     if (not params.level_estimation_after_advection) and do_levels:
         assert params.use_extended_range_for_level_estimation
         assert params.level_estimation_method != LevelEstimationMethod.CenterDiff, (

@@ -57,6 +57,8 @@ def _export_one(cfg: dict, base_dir: str):
         raise ValueError("expected either 'scene' or 'scene_file'")
 
     viz = VisualizationParams.from_dict(cfg.get("visualization_params") or {})
+    if viz.visualized_attribute == VisualizedAttribute.Distance or viz.show_flag_is_fluid_surface:
+        params = params.replace(force_level_estimation=True)
     sim = create_simulation(params, scene)
 
     target_time = float(cfg["time"])

@@ -172,6 +172,19 @@ class SimulationParams:
 
     # ---- rebuild-side static settings (not in the reference YAML) ----
     particle_sizes: ParticleSizes = ParticleSizes.Adaptive
+    # the reference always runs level estimation; its outputs feed only adaptivity
+    # (classification targets) and visualization, so the rebuild dead-code-eliminates
+    # it when resampling is off — set this to force it (e.g. Distance visualization)
+    force_level_estimation: bool = False
+
+    def level_estimation_active(self) -> bool:
+        if self.level_estimation_method == LevelEstimationMethod.NoneMethod:
+            return False
+        if self.particle_sizes == ParticleSizes.Uniform:
+            return self.force_level_estimation
+        return (
+            self.merging or self.sharing or self.splitting or self.force_level_estimation
+        )
 
     def mass_fine(self, dim: int = 2) -> float:
         """simulation_parameters.rs:125-127."""

@@ -114,7 +114,10 @@ def test_only_divergence_runs():
 
 
 def test_level_estimation_uniform_surface_detection():
-    params = make_params(level_estimation_method=LevelEstimationMethod.EmptyAngle)
+    params = make_params(
+        level_estimation_method=LevelEstimationMethod.EmptyAngle,
+        force_level_estimation=True,
+    )
     sim, _ = run_steps(params, 3)
     alive = np.asarray(sim.state.alive)
     # after smoothing every particle carries a level; some must be near the surface
