@@ -272,18 +272,45 @@ def single_step_without_adaptivity(
 
 
 def make_step_fn(params: SimulationParams, ncfg: nbr.NeighborConfig, boundary_handler,
-                 split_patterns=None):
-    """Build the jitted single_step (simulation.rs:1973-1978): physics + adaptivity."""
+                 split_patterns=None, grid_cfg=None):
+    """Build the jitted single_step (simulation.rs:1973-1978): physics + adaptivity.
+
+    grid_cfg selects the dense grid backend (models/grid_step.py) for the physics
+    stage; the neighbor-list backend remains the reference implementation (and serves
+    configs the grid backend gates out: constrain_neighborhood_count, check_aii).
+    Adaptivity still runs on the list structure, built only when resampling is on.
+    """
     from . import adaptivity as adapt
 
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
+    resampling = adaptive and (params.sharing or params.merging or params.splitting)
+
+    if grid_cfg is not None:
+        from .grid_step import single_step_grid
+
+        @jax.jit
+        def step(state: FluidState):
+            state, dt, diag = single_step_grid(state, params, grid_cfg, boundary_handler)
+            if resampling:
+                h_eff = physics.effective_h(state.h, params)
+                nb = nbr.build_neighborhood(
+                    state.position, h_eff, state.alive,
+                    jnp.float32(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH), ncfg,
+                )
+                state, adiag = adapt.single_step_adaptivity(
+                    state, nb, dt, params, split_patterns
+                )
+                diag.update(adiag)
+            return state, diag
+
+        return step
 
     @jax.jit
     def step(state: FluidState):
         state, nb, dt, diag = single_step_without_adaptivity(
             state, params, ncfg, boundary_handler
         )
-        if adaptive and (params.sharing or params.merging or params.splitting):
+        if resampling:
             state, adiag = adapt.single_step_adaptivity(
                 state, nb, dt, params, split_patterns
             )
@@ -291,3 +318,19 @@ def make_step_fn(params: SimulationParams, ncfg: nbr.NeighborConfig, boundary_ha
         return state, diag
 
     return step
+
+
+def make_chunked_step_fn(step_fn, chunk: int):
+    """Scan `chunk` steps inside one dispatch (amortizes host->TPU latency; nothing in
+    the step needs the host — dt, convergence, and adaptivity are all on-device).
+    Returns (state, stacked_diags)."""
+
+    @jax.jit
+    def run(state: FluidState):
+        def body(s, _):
+            s2, diag = step_fn(s)
+            return s2, diag
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return run

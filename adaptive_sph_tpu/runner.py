@@ -92,6 +92,42 @@ class Simulation:
             steps += 1
         return steps
 
+    def step_chunk(self, n: int):
+        """Run n steps in ONE device dispatch via lax.scan; returns stacked diags.
+
+        Invariant checks run once per chunk over the stacked diagnostics.
+        """
+        from .models.simulation import make_chunked_step_fn
+
+        key = ("chunk", n)
+        if not hasattr(self, "_chunked"):
+            self._chunked = {}
+        if key not in self._chunked:
+            self._chunked[key] = make_chunked_step_fn(self.step_fn, n)
+        t0 = time.perf_counter()
+        new_state, diags = self._chunked[key](self.state)
+        new_state = jax.block_until_ready(new_state)
+        elapsed = time.perf_counter() - t0
+
+        if self.check_invariants:
+            if int(np.max(np.asarray(diags["negative_aii"]))) > 0:
+                raise SimulationFailed("AII should not be negative!")
+            ro, co, lo = (int(np.max(np.asarray(x))) for x in diags["neighbor_overflow"])
+            if ro > 0 or co > 0 or lo > 0:
+                raise SimulationFailed(
+                    f"neighbor structure overflow: rows={ro} cell={co} level={lo}"
+                )
+            if "mass_conservation_error" in diags:
+                if float(np.max(np.asarray(diags["mass_conservation_error"]))) >= 0.005:
+                    raise SimulationFailed("mass not conserved after adaptivity")
+
+        self.state = new_state
+        self.counters.add_time("simulation-step", elapsed)  # whole chunk
+        for v in np.asarray(diags["dt"]):
+            self.counters.add_value("dt", float(v))
+        self.counters.add_value("particle-count", float(new_state.n))
+        return diags
+
 
 def neighbor_config_for(
     params: SimulationParams,
@@ -124,6 +160,34 @@ def neighbor_config_for(
     )
 
 
+def grid_config_for(
+    params: SimulationParams, scene: scene_mod.SceneConfig, state, capacity: int, mpc: int = 48
+):
+    """Static grid geometry from the scene box and the expected h range."""
+    from .models.grid_step import max_scale
+    from .ops.grid import make_grid_config
+
+    if params.particle_sizes == ParticleSizes.Uniform:
+        h_min = h_max = params.h
+    else:
+        masses = np.asarray(state.mass)[np.asarray(state.alive)]
+        h_lo = float(kernels.smoothing_length_from_mass(float(masses.min()), params.rest_density, 2))
+        h_hi = float(kernels.smoothing_length_from_mass(float(masses.max()), params.rest_density, 2))
+        if params.splitting or params.merging or params.sharing:
+            # resampling keeps masses within the classification band around the sizing
+            # targets (adaptivity/mod.rs:24-27); widen by the band plus safety
+            h_fine = kernels.ETA * params.particle_radius_fine
+            h_base = kernels.ETA * params.particle_radius_base
+            h_lo = min(h_lo, float(h_fine) * 0.6)
+            h_hi = max(h_hi, float(h_base) * 1.6)
+        h_min, h_max = h_lo, h_hi
+
+    w2, hh2 = scene.boundary_width / 2.0, scene.boundary_height / 2.0
+    return make_grid_config(
+        (-w2, -hh2), (w2, hh2), max_scale(params), h_min, h_max, capacity, mpc=mpc
+    )
+
+
 def create_simulation(
     params: SimulationParams,
     scene: scene_mod.SceneConfig,
@@ -131,8 +195,15 @@ def create_simulation(
     row_width: Optional[int] = None,
     split_patterns=None,
     counters_enabled: bool = True,
+    backend: str = "auto",
 ) -> Simulation:
-    """init_simulation_params + init_fluid_sim + step compilation."""
+    """init_simulation_params + init_fluid_sim + step compilation.
+
+    backend: 'grid' (dense gather-free engine), 'lists' (neighbor-list reference
+    implementation), or 'auto' (grid when the config supports it).
+    """
+    from .models.grid_step import supports_grid_backend
+
     params = params_mod.init_h_for_uniform(
         params, scene.blocks[0].spacing, scene.blocks[0].volume_fill_ratio
     )
@@ -142,6 +213,12 @@ def create_simulation(
     ncfg = neighbor_config_for(params, state.capacity, row_width, mass_range=mass_range)
     boundary_handler = scene_mod.make_boundary_handler(scene, params)
 
+    if backend == "auto":
+        backend = "grid" if supports_grid_backend(params) else "lists"
+    grid_cfg = None
+    if backend == "grid":
+        grid_cfg = grid_config_for(params, scene, state, state.capacity)
+
     if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
         params.splitting
     ):
@@ -149,7 +226,7 @@ def create_simulation(
 
         split_patterns = load_default_patterns()
 
-    step_fn = make_step_fn(params, ncfg, boundary_handler, split_patterns)
+    step_fn = make_step_fn(params, ncfg, boundary_handler, split_patterns, grid_cfg=grid_cfg)
     return Simulation(
         params=params,
         scene=scene,

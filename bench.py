@@ -50,30 +50,34 @@ def main():
     import sys
 
     verbose = bool(os.environ.get("ASPH_BENCH_VERBOSE"))
+    chunk = int(os.environ.get("ASPH_BENCH_CHUNK", "32"))
     t0 = time.perf_counter()
     sim = build_sim()
     n = sim.num_fluid_particles
 
-    # warmup: compile + let the solver reach steady behavior
-    for k in range(3):
-        tw = time.perf_counter()
-        d = sim.step()
-        if verbose:
-            print(
-                f"warmup {k}: {time.perf_counter()-tw:.2f}s "
-                f"div={int(d.get('div_iterations', 0))} den={int(d.get('density_iterations', 0))}",
-                file=sys.stderr, flush=True,
-            )
+    # warmup: compile both the single step and the scanned chunk
+    tw = time.perf_counter()
+    d = sim.step()
     if verbose:
-        print(f"setup+warmup total: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        print(
+            f"warmup step: {time.perf_counter()-tw:.2f}s "
+            f"div={int(d.get('div_iterations', 0))} den={int(d.get('density_iterations', 0))}",
+            file=sys.stderr, flush=True,
+        )
+    tw = time.perf_counter()
+    sim.step_chunk(chunk)
+    if verbose:
+        print(f"warmup chunk({chunk}): {time.perf_counter()-tw:.2f}s "
+              f"(setup total {time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
 
-    steps = 60
+    chunks = max(1, 192 // chunk)
+    steps = chunks * chunk
     t0 = time.perf_counter()
-    for _ in range(steps):
-        sim.step()
+    for _ in range(chunks):
+        sim.step_chunk(chunk)
     elapsed = time.perf_counter() - t0
     if verbose:
-        print(f"{elapsed/steps*1000:.1f} ms/step", file=sys.stderr)
+        print(f"{elapsed/steps*1000:.2f} ms/step", file=sys.stderr)
 
     updates_per_sec = n * steps / elapsed
     print(
