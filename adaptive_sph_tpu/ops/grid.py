@@ -78,7 +78,7 @@ def make_grid_config(
     h_min: float,
     h_max: float,
     capacity: int,
-    mpc: int = 48,
+    mpc: int = 32,
     adaptive_all_levels: bool = False,
 ) -> GridConfig:
     """Derive the static ladder from scene bounds and the expected h range.
@@ -91,8 +91,10 @@ def make_grid_config(
     levels = max(1, int(math.ceil(math.log2(max(sr_max / sr_min, 1.0)))) + 1)
     cell0 = sr_min
 
-    # pad the domain by one coarsest cell on each side; fluid must stay inside the box
-    pad = cell0 * (2 ** (levels - 1))
+    # pad by one fine cell only: window borders are handled by the shifted-slice fill
+    # (shift2d pads virtually), and coordinates clip into edge cells — a coarsest-cell
+    # physical margin would inflate the fine grid by 2^L cells per side
+    pad = cell0
     ox, oy = box_min[0] - pad, box_min[1] - pad
     ex = (box_max[0] + pad) - ox
     ey = (box_max[1] + pad) - oy
@@ -146,8 +148,12 @@ def build_bins(position, sr, alive, cfg: GridConfig) -> GridBins:
 
     ratio = jnp.maximum(sr / cfg.cell0, 1.0)
     level = jnp.ceil(jnp.log2(ratio) - 1e-6).astype(jnp.int32)
-    level_overflow = jnp.sum(alive & (level > L - 1)).astype(jnp.int32)
-    level = jnp.clip(level, 0, L - 1)
+    # snap up to the nearest *populated* level (pair blocks only exist for those; a
+    # larger cell still covers the particle's search radius, so this is always safe)
+    pop = jnp.asarray(sorted(set(cfg.populated)), jnp.int32)
+    snap = jnp.searchsorted(pop, level, side="left")
+    level_overflow = jnp.sum(alive & (snap > len(cfg.populated) - 1)).astype(jnp.int32)
+    level = pop[jnp.clip(snap, 0, len(cfg.populated) - 1)]
     level = jnp.where(alive, level, L)
 
     # cell coordinates at own level

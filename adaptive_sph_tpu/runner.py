@@ -160,8 +160,37 @@ def neighbor_config_for(
     )
 
 
+def _initial_max_occupancy(state, params, gcfg) -> int:
+    """Host-side max particles-per-cell of the initial state at the chosen ladder."""
+    from .models.grid_step import max_scale
+
+    pos = np.asarray(state.position)[np.asarray(state.alive)]
+    if params.particle_sizes == ParticleSizes.Uniform:
+        h = np.full(len(pos), params.h, np.float32)
+    else:
+        h = np.asarray(
+            kernels.smoothing_length_from_mass(
+                np.asarray(state.mass)[np.asarray(state.alive)], params.rest_density, 2
+            )
+        )
+    sr = h * max_scale(params)
+    level = np.clip(
+        np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int), 0, gcfg.levels - 1
+    )
+    occ = 0
+    for l in np.unique(level):
+        sel = level == l
+        cell = gcfg.cell(int(l))
+        cx = np.floor((pos[sel, 0] - gcfg.origin[0]) / cell).astype(np.int64)
+        cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
+        _, counts = np.unique(cx + (cy << 24), return_counts=True)
+        occ = max(occ, int(counts.max()))
+    return occ
+
+
 def grid_config_for(
-    params: SimulationParams, scene: scene_mod.SceneConfig, state, capacity: int, mpc: int = 48
+    params: SimulationParams, scene: scene_mod.SceneConfig, state, capacity: int,
+    mpc: Optional[int] = None,
 ):
     """Static grid geometry from the scene box and the expected h range."""
     from .models.grid_step import max_scale
@@ -183,9 +212,38 @@ def grid_config_for(
         h_min, h_max = h_lo, h_hi
 
     w2, hh2 = scene.boundary_width / 2.0, scene.boundary_height / 2.0
-    return make_grid_config(
-        (-w2, -hh2), (w2, hh2), max_scale(params), h_min, h_max, capacity, mpc=mpc
+    gcfg = make_grid_config(
+        (-w2, -hh2), (w2, hh2), max_scale(params), h_min, h_max, capacity, mpc=32
     )
+    if mpc is None:
+        # size slots to the scene: initial max occupancy x compression headroom
+        occ = _initial_max_occupancy(state, params, gcfg)
+        floor = 32 if (params.splitting or params.merging or params.sharing) else 16
+        mpc = max(floor, int(np.ceil(occ * 2.5 / 8.0) * 8))
+    import dataclasses as _dc
+
+    gcfg = _dc.replace(gcfg, mpc=mpc)
+
+    if params.particle_sizes != ParticleSizes.Uniform and not (
+        params.splitting or params.merging or params.sharing
+    ):
+        # masses never change: only the levels of the initial h values can be
+        # populated — restrict the pair blocks (e.g. the 50:1 stress test uses
+        # exactly two levels instead of all seven)
+        masses = np.asarray(state.mass)[np.asarray(state.alive)]
+        hs = np.unique(
+            np.asarray(kernels.smoothing_length_from_mass(masses, params.rest_density, 2))
+        )
+        scale = max_scale(params)
+        lv = np.clip(
+            np.ceil(np.log2(np.maximum(hs * scale / gcfg.cell0, 1.0)) - 1e-6).astype(int),
+            0,
+            gcfg.levels - 1,
+        )
+        import dataclasses as _dc
+
+        gcfg = _dc.replace(gcfg, populated=tuple(sorted(set(int(x) for x in lv))))
+    return gcfg
 
 
 def create_simulation(

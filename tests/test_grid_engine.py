@@ -17,7 +17,7 @@ from adaptive_sph_tpu.utils.params import (
 )
 
 
-def make_case(seed, n, C, h_range, extent=1.6):
+def make_case(seed, n, C, h_range, extent=1.1):
     rng = np.random.default_rng(seed)
     pos = np.zeros((C, 2), dtype=np.float32)
     pos[:n] = rng.uniform(-extent / 2, extent / 2, size=(n, 2))
@@ -33,7 +33,7 @@ def make_case(seed, n, C, h_range, extent=1.6):
     [
         (0, 200, (0.05, 0.05), 2.0),
         (1, 300, (0.03, 0.12), 2.0),
-        (2, 200, (0.05, 0.8), 2.0),  # 16:1, large cross-level span
+        (2, 150, (0.05, 0.6), 2.0),  # 12:1, large cross-level span
         (3, 200, (0.04, 0.2), 2.894736),
     ],
 )
@@ -44,7 +44,7 @@ def test_pair_apply_matches_bruteforce(seed, n, h_range, scale):
     mass = jnp.asarray(rng.uniform(0.5, 2.0, size=C).astype(np.float32))
 
     cfg = grid_mod.make_grid_config(
-        (-1.0, -1.0), (1.0, 1.0), scale, h_range[0], h_range[1], C, mpc=64
+        (-0.7, -0.7), (0.7, 0.7), scale, h_range[0], h_range[1], C, mpc=40
     )
     bins = grid_mod.build_bins(pos, h * scale, alive, cfg)
     assert int(bins.overflow) == 0
@@ -82,7 +82,7 @@ def test_pair_apply_matches_bruteforce(seed, n, h_range, scale):
 def test_pair_apply_max_matches_bruteforce():
     C = 512
     pos, h, alive = make_case(7, 250, C, (0.02, 0.5))
-    cfg = grid_mod.make_grid_config((-1.0, -1.0), (1.0, 1.0), 2.0, 0.02, 0.5, C, mpc=64)
+    cfg = grid_mod.make_grid_config((-0.7, -0.7), (0.7, 0.7), 2.0, 0.02, 0.5, C, mpc=40)
     bins = grid_mod.build_bins(pos, h * 2.0, alive, cfg)
     sf = {
         "pos": grid_mod.scatter_field(bins, cfg, pos),
