@@ -81,7 +81,9 @@ def level_estimation_slots(cfg, bins, sf, ext_scale, dist_b_slots, params):
         norm2 = jnp.sum(normal * normal, -1)
         unit = normal / jnp.sqrt(jnp.maximum(norm2, 1e-30))[:, None]
 
-        threshold = float(jnp.cos(50.0 * jnp.pi / 180.0))
+        import math
+
+        threshold = math.cos(50.0 * math.pi / 180.0)
         f2 = dict(sf)
         f2["un"] = unit
 
@@ -419,10 +421,14 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         pressure_slots = res_den.pressure
         src_slots, derr_slots = src2, res_den.density_error
 
-    # 15. level-field smoothing (simulation.rs:2709-2722) — pre-advection neighborhood
+    # 15. level-field smoothing (simulation.rs:2709-2722): advected positions over the
+    # stale pre-advection binning (the reference reads particles.position after
+    # integration while keeping the old neighbor lists)
     level, has_level, level_old = state.level, state.has_level, state.level_old
     if do_levels:
-        sm_slots = smooth_level_slots(gcfg, bins, sf, pscale, level_slots, has_slots, params)
+        sf_smooth = dict(sf)
+        sf_smooth["pos"] = pos_slots
+        sm_slots = smooth_level_slots(gcfg, bins, sf_smooth, pscale, level_slots, has_slots, params)
         level = gather_result(bins, gcfg, sm_slots, -params.maximum_surface_distance)
         level = jnp.where(alive, level, 0.0)
         has_level = alive & (bins.slot_of >= 0)

@@ -234,7 +234,11 @@ def single_step_without_adaptivity(
         smooth_cache = with_density(lvl_cache, nb_lvl, density)
     else:
         nb_smooth = nb
-        smooth_cache = cache  # filtered neighborhood, pre-advection positions
+        # the reference smooths with ADVANCED positions over the stale pre-advection
+        # lists (simulation.rs:2709-2722 reads particles.position after integration)
+        smooth_cache = with_density(
+            build_edge_cache(nb, pos2, h_eff, state.mass), nb, density
+        )
 
     # 15. level-field smoothing (simulation.rs:2709-2722)
     level_old = state.level_old

@@ -125,3 +125,37 @@ def test_level_estimation_uniform_surface_detection():
     assert np.all(np.isfinite(lv))
     assert lv.min() < -0.01  # interior particles report depth
     assert np.asarray(sim.state.has_level)[alive].all()
+
+
+def test_iisph2_runs():
+    """IISPH2 (Omega-corrected) integrator path (simulation.rs:2262-2387)."""
+    params = make_params(pressure_solver_method=PressureSolverMethod.IISPH2)
+    sim, diags = run_steps(params, 6)
+    alive = np.asarray(sim.state.alive)
+    omega = np.asarray(sim.state.omega)[alive]
+    assert np.all(omega >= 0.125 - 1e-6) and np.all(omega <= 2.5 + 1e-6)
+    rho = np.asarray(sim.state.density)[alive]
+    assert np.all(np.isfinite(rho)) and rho.max() < 1.4
+    assert int(diags[-1]["density_iterations"]) >= 2
+
+
+def test_wcsph_viscosity_runs():
+    params = make_params(viscosity_type="WCSPH", viscosity=0.01)
+    sim, _ = run_steps(params, 5)
+    vel = np.asarray(sim.state.velocity)[np.asarray(sim.state.alive)]
+    assert np.all(np.isfinite(vel))
+
+
+def test_particle_boundary_handler():
+    """Akinci boundary particles (particle_boundary_handler.rs) on the lists backend."""
+    from adaptive_sph_tpu.runner import create_simulation as cs
+
+    params = make_params(init_boundary_handler=InitBoundaryHandlerType.Particles)
+    sim = cs(params, SCENE, capacity=1024, backend="lists")
+    for _ in range(5):
+        sim.step()
+    alive = np.asarray(sim.state.alive)
+    pos = np.asarray(sim.state.position)[alive]
+    assert np.all(np.abs(pos) < 0.6)  # boundary particles keep fluid inside
+    rho = np.asarray(sim.state.density)[alive]
+    assert np.all(np.isfinite(rho)) and rho.max() < 1.4
