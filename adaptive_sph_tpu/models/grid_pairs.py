@@ -76,6 +76,7 @@ def pair_apply(
     edge_fn: Callable,
     reduce: str = "sum",
     fill=0.0,
+    mask_pos_key: str = "pos",
 ):
     """Run edge_fn over every interacting pair; returns dict of slot-layout results.
 
@@ -83,6 +84,10 @@ def pair_apply(
     'h' (slots,). edge_fn(vi, vj, geom) -> dict of per-pair arrays (..., MQ, W[, F])
     contributing to vi's particle; it is evaluated once per direction per block.
     reduce: 'sum' or 'max' (max uses `fill` for non-edges).
+    mask_pos_key: which position field decides pair membership (|x| < scale*h_ij).
+    The reference's level smoothing keeps the pre-advection pair set while evaluating
+    kernels at advected positions (simulation.rs:2052-2058 + :2709-2722) — pass the
+    stale positions under a separate key and name it here.
     """
     _, total = cfg.level_offsets
     pos = slot_fields["pos"]
@@ -110,10 +115,15 @@ def pair_apply(
             diff = _expand_q(qv["pos"]) - _expand_c(cand["pos"])  # (ny,nx,MQ,W,2)
             r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
             h_ij = 0.5 * (_expand_q(qv["h"]) + _expand_c(cand["h"]))
+            if mask_pos_key == "pos":
+                r_mask = r
+            else:
+                dmask = _expand_q(qv[mask_pos_key]) - _expand_c(cand[mask_pos_key])
+                r_mask = jnp.sqrt(jnp.sum(dmask * dmask, -1) + 1e-30)
             valid = (
                 _expand_q(qmask)
                 & _expand_c(cmask)
-                & (r < radius_scale * h_ij)
+                & (r_mask < radius_scale * h_ij)
             )
             geom = Geom(diff, r, h_ij, valid)
 

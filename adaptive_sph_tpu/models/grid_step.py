@@ -166,7 +166,11 @@ def level_estimation_slots(cfg, bins, sf, ext_scale, dist_b_slots, params):
 
 
 def smooth_level_slots(cfg, bins, sf, scale, level, has, params):
-    """Volume-weighted smoothing (simulation.rs:803-857) at the physics radius."""
+    """Volume-weighted smoothing (simulation.rs:803-857) at the physics radius.
+
+    Pair membership follows the *pre-advection* positions (the reference's stale
+    filtered lists) while kernels evaluate at the advected positions; callers provide
+    sf['pos'] = advected and sf['pos_old'] = binning positions."""
     max_depth = -params.maximum_surface_distance
     f = dict(sf)
     f["dist"] = jnp.where(has, jnp.maximum(level, max_depth), max_depth)
@@ -175,7 +179,8 @@ def smooth_level_slots(cfg, bins, sf, scale, level, has, params):
         vw = vj["mass"] / jnp.maximum(vj["rho"], 1e-30) * kernels.kernel_w(geom.r, geom.h_ij, 2)
         return {"lvl": vj["dist"] * vw, "w": vw}
 
-    s = grid_pairs.pair_apply(cfg, bins, f, scale, edge)
+    mask_key = "pos_old" if "pos_old" in f else "pos"
+    s = grid_pairs.pair_apply(cfg, bins, f, scale, edge, mask_pos_key=mask_key)
     return s["lvl"] / jnp.maximum(s["w"], 1e-30)
 
 
@@ -427,6 +432,7 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
     level, has_level, level_old = state.level, state.has_level, state.level_old
     if do_levels:
         sf_smooth = dict(sf)
+        sf_smooth["pos_old"] = sf["pos"]
         sf_smooth["pos"] = pos_slots
         sm_slots = smooth_level_slots(gcfg, bins, sf_smooth, pscale, level_slots, has_slots, params)
         level = gather_result(bins, gcfg, sm_slots, -params.maximum_surface_distance)

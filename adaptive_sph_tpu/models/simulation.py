@@ -114,9 +114,12 @@ def single_step_without_adaptivity(
         nb = nbr.build_neighborhood(pos, h_eff, alive, ext_scale, ncfg)
         ext_cache = build_edge_cache(nb, pos, h_eff, state.mass)
         bt_lvl = boundary_handler.update_after_advect(pos, h, params)
+        # NOTE: the near-boundary interior test uses the RAW per-particle h array
+        # (zero-filled under uniform sizes, so it never fires there — matching
+        # simulation.rs:583-585 where particles.h2 is zero in uniform builds)
         level, has_level, flag_surface, flag_insufficient, stash = (
             level_mod.perform_level_estimation(
-                nb, ext_cache, bt_lvl, pos, state.mass, h_eff, alive, stash, params
+                nb, ext_cache, bt_lvl, pos, state.mass, h, alive, stash, params
             )
         )
         nb = nbr.filter_down(
@@ -227,7 +230,7 @@ def single_step_without_adaptivity(
         bt2 = boundary_handler.update_after_advect(pos2, h, params)
         level, has_level, flag_surface, flag_insufficient, stash = (
             level_mod.perform_level_estimation(
-                nb_lvl, lvl_cache, bt2, pos2, state.mass, h_eff, alive, stash, params
+                nb_lvl, lvl_cache, bt2, pos2, state.mass, h, alive, stash, params
             )
         )
         nb_smooth = nb_lvl
