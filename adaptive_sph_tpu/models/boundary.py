@@ -183,7 +183,7 @@ def build_particle_boundary(
     # boundary-boundary number density (host, exact O(B^2) is fine at init: B ~ 1e3-1e4)
     diff = bp[:, None, :] - bp[None, :, :]
     r = np.sqrt((diff**2).sum(-1))
-    w = np.asarray(kernels.kernel_w(r, params.h, dim=bp.shape[1]))
+    w = np.array(kernels.kernel_w(r, params.h, dim=bp.shape[1]))
     w[r >= sr] = 0.0
     number_density = w.sum(1)
     psi = params.rest_density / number_density

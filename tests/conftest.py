@@ -8,3 +8,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_configure(config):
+    # fail loudly if the axon TPU platform grabbed the backend anyway (it makes
+    # "CPU" tests compile over the tunnel and breaks the virtual 8-device mesh)
+    import jax
+
+    if jax.default_backend() != "cpu":
+        import warnings
+
+        warnings.warn(
+            f"tests expected the CPU backend but got {jax.default_backend()!r}; "
+            "run pytest with JAX_PLATFORMS=cpu in the environment"
+        )
