@@ -120,7 +120,9 @@ def pair_apply(
 
             diff = _expand_q(qv["pos"]) - _expand_c(cand["pos"])  # (ny,nx,MQ,W,2)
             r = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-30)
-            h_ij = 0.5 * (_expand_q(qv["h"]) + _expand_c(cand["h"]))
+            # clamp keeps kernel math finite on empty-empty slot pairs so the
+            # multiply-mask reduction cannot see NaNs (real particles have h >> this)
+            h_ij = jnp.maximum(0.5 * (_expand_q(qv["h"]) + _expand_c(cand["h"])), 1e-6)
             if mask_pos_key == "pos":
                 r_mask = r
             else:

@@ -277,12 +277,15 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         flag_surface = gather_result(bins, gcfg, surf_slots, False) & alive
         flag_insufficient = gather_result(bins, gcfg, insuf_slots, False) & alive
 
-    # neighbor count at the physics radius (for state/viz)
-    def count_edge(vi, vj, geom):
-        return {"n": jnp.ones_like(geom.r)}
+    # neighbor count at the physics radius (diagnostic; simulation.rs:2072-2074)
+    if params.force_diagnostic_fields:
+        def count_edge(vi, vj, geom):
+            return {"n": jnp.ones_like(geom.r)}
 
-    ncount_slots = grid_pairs.pair_apply(gcfg, bins, sf, pscale, count_edge)["n"]
-    neighbor_count = gather_result(bins, gcfg, ncount_slots, 0.0).astype(jnp.int32)
+        ncount_slots = grid_pairs.pair_apply(gcfg, bins, sf, pscale, count_edge)["n"]
+        neighbor_count = gather_result(bins, gcfg, ncount_slots, 0.0).astype(jnp.int32)
+    else:
+        neighbor_count = state.neighbor_count
 
     # 6. h_next estimation (simulation.rs:2090-2143)
     if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
@@ -305,9 +308,12 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
     sf["rho"] = rho_slots
     density = jnp.where(alive, gather_result(bins, gcfg, rho_slots, 1.0), 1.0)
 
-    # 11. constant field (simulation.rs:2235-2248)
-    cf_slots = gp.constant_field_slots(gcfg, bins, sf, pscale) + bdens_slots / params.rest_density
-    constant_field = gather_result(bins, gcfg, cf_slots, 0.0)
+    # 11. constant field diagnostic (simulation.rs:2235-2248); viz-only, gated
+    if params.force_diagnostic_fields:
+        cf_slots = gp.constant_field_slots(gcfg, bins, sf, pscale) + bdens_slots / params.rest_density
+        constant_field = gather_result(bins, gcfg, cf_slots, 0.0)
+    else:
+        constant_field = state.constant_field
 
     # 12. a_ii (simulation.rs:2250-2259)
     aii_slots = gp.aii_slots(gcfg, bins, sf, pscale, G_slots, bt.kind, params)

@@ -59,6 +59,10 @@ def _export_one(cfg: dict, base_dir: str):
     viz = VisualizationParams.from_dict(cfg.get("visualization_params") or {})
     if viz.visualized_attribute == VisualizedAttribute.Distance or viz.show_flag_is_fluid_surface:
         params = params.replace(force_level_estimation=True)
+    if viz.visualized_attribute in (
+        VisualizedAttribute.ConstantField, VisualizedAttribute.NeighborCount
+    ):
+        params = params.replace(force_diagnostic_fields=True)
     sim = create_simulation(params, scene)
 
     target_time = float(cfg["time"])

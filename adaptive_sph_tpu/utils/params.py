@@ -176,6 +176,9 @@ class SimulationParams:
     # (classification targets) and visualization, so the rebuild dead-code-eliminates
     # it when resampling is off — set this to force it (e.g. Distance visualization)
     force_level_estimation: bool = False
+    # likewise, the <1> constant-field and per-particle neighbor counts are pure
+    # diagnostics (viz attributes); skipped unless requested
+    force_diagnostic_fields: bool = False
 
     def level_estimation_active(self) -> bool:
         if self.level_estimation_method == LevelEstimationMethod.NoneMethod:

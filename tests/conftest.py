@@ -1,9 +1,13 @@
 import os
 
-# Tests run on CPU with 8 virtual devices so multi-chip sharding paths are exercised
+# Tests target CPU with 8 virtual devices so multi-chip sharding paths are exercised
 # without TPU hardware (the driver's dryrun_multichip uses the same mechanism).
-# NOTE: the environment presets JAX_PLATFORMS=axon (the TPU tunnel), so this must
-# override, not setdefault — otherwise every test compiles over the tunnel.
+#
+# CAVEAT: this image ships PYTHONPATH=/root/.axon_site with a sitecustomize.py that
+# force-registers the axon TPU plugin at interpreter start, overriding JAX_PLATFORMS.
+# When that is active the suite still runs (on the real TPU through the tunnel — a
+# stronger but slower validation) and device-count-dependent tests skip. For a true
+# CPU run: `PYTHONPATH= python -m pytest tests/`.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
