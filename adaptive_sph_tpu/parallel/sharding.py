@@ -27,7 +27,16 @@ PARTICLE_AXIS = "p"
 
 def make_mesh(n_devices: int = None) -> Mesh:
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        # this image's sitecustomize force-registers the axon TPU plugin even under
+        # JAX_PLATFORMS=cpu; the virtual multi-device mesh lives on the CPU backend,
+        # which coexists — fall back to it explicitly
+        devices = jax.devices("cpu")
     if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+        )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (PARTICLE_AXIS,))
 

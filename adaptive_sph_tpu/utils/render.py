@@ -95,12 +95,15 @@ def render2d(
         lx, ly = img_width * 0.83, img_height * 0.5
         lw, lh = img_width * 0.07, img_height * 0.3
         vmin, vmax = float(cm.xs[0]), float(cm.xs[-1])
-        # vertical gradient, value increasing downward like the cairo gradient
-        grad_rows = np.linspace(vmin, vmax, int(lh))
+        # the reference paints the gradient in cairo's flipped frame: the box occupies
+        # screen rows [H - (ly + lh), H - ly] with the value increasing upward
+        # (cairo_renderer.rs:117-140); labels use yc = H - (ly + interp*lh)
+        top = img_height - (ly + lh)
+        grad_rows = np.linspace(vmax, vmin, int(lh))  # top row = vmax
         grad = cm.get(grad_rows)  # (lh, 3)
         grad_img = np.repeat(grad[:, None, :], int(lw), axis=1)
-        out.paste(Image.fromarray((np.clip(grad_img, 0, 1) * 255).astype(np.uint8)), (int(lx), int(ly)))
-        draw.rectangle([lx, ly, lx + lw, ly + lh], outline=(0, 0, 0), width=3)
+        out.paste(Image.fromarray((np.clip(grad_img, 0, 1) * 255).astype(np.uint8)), (int(lx), int(top)))
+        draw.rectangle([lx, top, lx + lw, top + lh], outline=(0, 0, 0), width=3)
 
         font = _font(int(img_height * 0.04))
         stops = [vmin, vmax] if legend.get("only_min_max") else [float(x) for x in cm.xs]
