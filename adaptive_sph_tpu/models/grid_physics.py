@@ -68,9 +68,54 @@ def aii_sums_slots(cfg, bins, sf, scale, params: SimulationParams):
     return grid_pairs.pair_apply(cfg, bins, sf, scale, edge)
 
 
-def aii_slots(cfg, bins, sf, scale, bst_G_slots, bt_kind: str, params: SimulationParams):
-    """Assemble a_ii from the fluid sums + factored boundary vector G (slots, 2)."""
-    sums = aii_sums_slots(cfg, bins, sf, scale, params)
+def fused_prep_sweep(cfg, bins, sf, scale, vel, params: SimulationParams):
+    """One pair reduction computing the a_ii fluid sums AND the viscosity acceleration.
+
+    Fusing the once-per-step sweeps halves the number of dense window passes outside
+    the Jacobi loop (each pass streams the same candidate windows).
+    Returns (aii_sums dict, viscosity_accel (slots, 2) WITHOUT gravity/pull).
+    """
+    D = 2
+    speed_of_sound = 88.0
+    fields = dict(sf)
+    fields["vel"] = vel
+    use_xsph = params.viscosity_type == ViscosityType.XSPH
+
+    def edge(vi, vj, geom):
+        gw = _grad(geom)
+        g2 = jnp.sum(gw * gw, -1)
+        rho_j = jnp.maximum(vj["rho"], 1e-30)
+        out = {
+            "mj_wij": vj["mass"][..., None] * gw,
+            "mj_wij_sq": vj["mass"] * g2,
+            "mj_by_rhoj_wij": (vj["mass"] / rho_j)[..., None] * gw,
+            "mj_by_rhoj_wij_sq": vj["mass"] / rho_j * g2,
+        }
+        if not use_xsph:
+            v_ab = vi["vel"] - vj["vel"]
+            dot = jnp.sum(geom.diff * v_ab, -1)
+            r2 = geom.r * geom.r
+            attract = dot < 0.0
+            if params.viscosity_type == ViscosityType.WCSPH:
+                vt = 2.0 * params.viscosity * geom.h_ij * speed_of_sound / jnp.maximum(
+                    vi["rho"] + vj["rho"], 1e-30
+                )
+                pi_ab = -vt * dot / (r2 + 0.001 * geom.h_ij * geom.h_ij)
+                contrib = (-vj["mass"] * pi_ab)[..., None] * gw
+            else:  # ApproxLaplace
+                rho_ij = jnp.maximum((vi["rho"] + vj["rho"]) * 0.5, 1e-30)
+                coeff = 2.0 * (D + 2) * dot / (r2 + 0.01 * geom.h_ij * geom.h_ij) / rho_ij
+                contrib = (params.viscosity * vj["mass"] * coeff)[..., None] * gw
+            out["visc"] = jnp.where(attract[..., None], contrib, 0.0)
+        return out
+
+    res = grid_pairs.pair_apply(cfg, bins, fields, scale, edge)
+    visc = res.pop("visc", jnp.zeros_like(vel))
+    return res, visc
+
+
+def assemble_aii(sums, sf, bst_G_slots, bt_kind: str, params: SimulationParams):
+    """a_ii from the fluid sums + factored boundary vector G (slots, 2)."""
     rho_i = jnp.maximum(sf["rho"], 1e-30)
     rho_i_sq = rho_i * rho_i
     rho_i_cu = rho_i_sq * rho_i
@@ -101,6 +146,12 @@ def aii_slots(cfg, bins, sf, scale, bst_G_slots, bt_kind: str, params: Simulatio
 
     lhs = mj_wij / rho_i_sq[:, None]
     return jnp.sum(lhs * mj_wij, -1) / rho_i + mi * mj_wij_sq / rho_i_cu
+
+
+def aii_slots(cfg, bins, sf, scale, bst_G_slots, bt_kind: str, params: SimulationParams):
+    """Standalone a_ii (used when the fused prep sweep is not applicable)."""
+    sums = aii_sums_slots(cfg, bins, sf, scale, params)
+    return assemble_aii(sums, sf, bst_G_slots, bt_kind, params)
 
 
 def boundary_accel_slots(G, pressure, rho, bt_kind: str, params: SimulationParams):

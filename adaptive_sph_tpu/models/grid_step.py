@@ -315,20 +315,44 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
     else:
         constant_field = state.constant_field
 
-    # 12. a_ii (simulation.rs:2250-2259)
-    aii_slots = gp.aii_slots(gcfg, bins, sf, pscale, G_slots, bt.kind, params)
+    # 12+first-nonpressure: one fused sweep computes the a_ii sums AND the viscosity
+    # for the pipeline-start non-pressure kick (simulation.rs:2250-2259 + :929-1005);
+    # the HybridDFSPH accel-after-div-solve config keeps the separate sweep.
+    vel_slots = scatter_field(bins, gcfg, state.velocity)
+    zero_q = jnp.zeros(2, jnp.float32)
+    method = params.pressure_solver_method
+    first_np_at_start = (
+        method != PressureSolverMethod.HybridDFSPH
+        or params.hybrid_dfsph_non_pressure_accel_before_divergence_free
+    )
+
+    def finish_nonpressure(visc):
+        accel = visc + jnp.asarray(params.gravity_vector(2), jnp.float32)[None, :]
+        if params.pull_fluid_to is not None:
+            target = jnp.asarray(params.pull_fluid_to[:2], jnp.float32)
+            d = target[None, :] - sf["pos"]
+            accel = accel + d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9
+            ) * 13.0
+        return accel
+
+    if first_np_at_start:
+        aii_sums, visc0 = gp.fused_prep_sweep(gcfg, bins, sf, pscale, vel_slots, params)
+        aii_slots = gp.assemble_aii(aii_sums, sf, G_slots, bt.kind, params)
+        first_np_vel = vel_slots + dt * finish_nonpressure(visc0)
+    else:
+        aii_slots = gp.aii_slots(gcfg, bins, sf, pscale, G_slots, bt.kind, params)
+        first_np_vel = None
     aii_slots = jnp.where(alive_slots, aii_slots, 0.0)
     aii = jnp.where(alive, gather_result(bins, gcfg, aii_slots, 0.0), 0.0)
     diag["negative_aii"] = jnp.sum(alive & (aii < 0.0) & (bins.slot_of >= 0))
 
     # 13. pressure solve + integrate (simulation.rs:2261-2671), slot space
-    vel_slots = scatter_field(bins, gcfg, state.velocity)
-    zero_q = jnp.zeros(2, jnp.float32)
-
     def nonpressure(v):
+        if first_np_vel is not None and v is vel_slots:
+            return first_np_vel  # the fused sweep already produced this
         return v + dt * gp.non_pressure_accel_slots(gcfg, bins, sf, pscale, v, params)
 
-    method = params.pressure_solver_method
     omega_slots = scatter_field(bins, gcfg, state.omega)
     pos_slots = sf["pos"]
 
