@@ -279,18 +279,39 @@ def single_step_without_adaptivity(
 
 
 def make_step_fn(params: SimulationParams, ncfg: nbr.NeighborConfig, boundary_handler,
-                 split_patterns=None, grid_cfg=None):
+                 split_patterns=None, grid_cfg=None, tile_cfg=None):
     """Build the jitted single_step (simulation.rs:1973-1978): physics + adaptivity.
 
-    grid_cfg selects the dense grid backend (models/grid_step.py) for the physics
-    stage; the neighbor-list backend remains the reference implementation (and serves
-    configs the grid backend gates out: constrain_neighborhood_count, check_aii).
+    tile_cfg selects the sorted-tile backend (models/tile_step.py, the production
+    hot path); grid_cfg the dense grid backend (models/grid_step.py); the
+    neighbor-list backend remains the reference implementation (and serves configs
+    the fast backends gate out: constrain_neighborhood_count, check_aii).
     Adaptivity still runs on the list structure, built only when resampling is on.
     """
     from . import adaptivity as adapt
 
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
     resampling = adaptive and (params.sharing or params.merging or params.splitting)
+
+    if tile_cfg is not None:
+        from .tile_step import single_step_tiles
+
+        @jax.jit
+        def step(state: FluidState):
+            state, dt, diag = single_step_tiles(state, params, tile_cfg, boundary_handler)
+            if resampling:
+                h_eff = physics.effective_h(state.h, params)
+                nb = nbr.build_neighborhood(
+                    state.position, h_eff, state.alive,
+                    jnp.float32(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH), ncfg,
+                )
+                state, adiag = adapt.single_step_adaptivity(
+                    state, nb, dt, params, split_patterns
+                )
+                diag.update(adiag)
+            return state, diag
+
+        return step
 
     if grid_cfg is not None:
         from .grid_step import single_step_grid

@@ -1,0 +1,324 @@
+"""Physics sweeps on the sorted-tile engine (ops/tiles.py + ops/pallas_sweeps.py).
+
+Same reference citations and math as models/grid_physics.py (which remains the
+dense-grid backend); every pair reduction here is a SweepOp executed by the Pallas
+harness over the sorted layout. All per-particle arrays live in SORTED order (C,);
+elementwise assembly helpers are shared with grid_physics (they are layout-free).
+
+Sweep inventory (reference):
+  density            simulation.rs:1007-1028
+  constant field     simulation.rs:2235-2248
+  a_ii sums          boundary_handler/*.rs closed forms (via grid_physics.assemble_aii)
+  viscosity          simulation.rs:929-1005 (WCSPH eq 10/11, ApproxLaplace eq 102)
+  pressure accel     simulation.rs:1750-1808
+  divergence         simulation.rs:1552-1592
+  IISPH2 Omega       simulation.rs:2262-2311
+  surface detection  simulation.rs:539-695
+  level wavefront    simulation.rs:729-801
+  level smoothing    simulation.rs:803-857 (stale pair set, advected kernel positions)
+  h estimation       simulation.rs:1873-1971
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import kernels
+from ..ops.pallas_sweeps import NEG_BIG, SweepOp, run_sweep
+from ..ops.tiles import TileBins, TileConfig
+from ..utils.params import (
+    OperatorDiscretization,
+    SimulationParams,
+    SupportLengthEstimation,
+    ViscosityType,
+)
+from .solver import DENSITY_ERROR, SINGULAR_AII_EPS, SolveResult
+
+D = 2
+SPEED_OF_SOUND = 88.0
+
+
+# ---------------------------------------------------------------------------
+# SweepOp factories (static params closed over at trace time)
+
+DENSITY_OP = SweepOp(
+    name="density", n_out=1, emit=lambda q, c, ctx: [c["mass"] * ctx.w]
+)
+
+COUNT_OP = SweepOp(
+    name="count", n_out=1, emit=lambda q, c, ctx: [jnp.ones_like(ctx.r2)]
+)
+
+
+def constant_field_op():
+    return SweepOp(
+        name="constant_field",
+        n_out=1,
+        dyn_names=("rho",),
+        emit=lambda q, c, ctx: [
+            c["mass"] / jnp.maximum(c["rho"], 1e-30) * ctx.w
+        ],
+    )
+
+
+def _viscosity_pair(q, c, ctx, params: SimulationParams):
+    """Per-pair viscosity acceleration (simulation.rs:941-989); (vx, vy) pair terms."""
+    dvx = q["velx"] - c["velx"]
+    dvy = q["vely"] - c["vely"]
+    dot = ctx.dx * dvx + ctx.dy * dvy
+    attract = dot < 0.0
+    if params.viscosity_type == ViscosityType.WCSPH:
+        vt = (
+            2.0 * params.viscosity * ctx.h_ij * SPEED_OF_SOUND
+            / jnp.maximum(q["rho"] + c["rho"], 1e-30)
+        )
+        pi_ab = -vt * dot / (ctx.r2 + 0.001 * ctx.h_ij * ctx.h_ij)
+        coef = -c["mass"] * pi_ab
+    else:  # ApproxLaplace
+        rho_ij = jnp.maximum((q["rho"] + c["rho"]) * 0.5, 1e-30)
+        coef = (
+            params.viscosity * c["mass"]
+            * (2.0 * (D + 2) * dot / (ctx.r2 + 0.01 * ctx.h_ij * ctx.h_ij) / rho_ij)
+        )
+    coef = jnp.where(attract, coef, 0.0)
+    return coef * ctx.gx, coef * ctx.gy
+
+
+def prep_op(params: SimulationParams):
+    """Fused once-per-step sweep: the four a_ii fluid sums + viscosity accel."""
+    use_visc = params.viscosity_type != ViscosityType.XSPH
+
+    def emit(q, c, ctx):
+        gx, gy = ctx.gx, ctx.gy
+        g2 = gx * gx + gy * gy
+        m = c["mass"]
+        mbr = m / jnp.maximum(c["rho"], 1e-30)
+        outs = [m * gx, m * gy, m * g2, mbr * gx, mbr * gy, mbr * g2]
+        if use_visc:
+            vx, vy = _viscosity_pair(q, c, ctx, params)
+            outs += [vx, vy]
+        else:
+            outs += [jnp.zeros_like(g2), jnp.zeros_like(g2)]
+        return outs
+
+    return SweepOp(name="prep", n_out=8, dyn_names=("rho", "velx", "vely"), emit=emit)
+
+
+def aii_sums_op():
+    def emit(q, c, ctx):
+        gx, gy = ctx.gx, ctx.gy
+        g2 = gx * gx + gy * gy
+        m = c["mass"]
+        mbr = m / jnp.maximum(c["rho"], 1e-30)
+        return [m * gx, m * gy, m * g2, mbr * gx, mbr * gy, mbr * g2]
+
+    return SweepOp(name="aii_sums", n_out=6, dyn_names=("rho",), emit=emit)
+
+
+def visc_op(params: SimulationParams):
+    def emit(q, c, ctx):
+        vx, vy = _viscosity_pair(q, c, ctx, params)
+        return [vx, vy]
+
+    return SweepOp(name="visc", n_out=2, dyn_names=("rho", "velx", "vely"), emit=emit)
+
+
+def accel_op():
+    """-sum m_j (p_i/rho_i^2 + p_j/rho_j^2) grad W (simulation.rs:1750-1808)."""
+
+    def emit(q, c, ctx):
+        term = q["p"] / jnp.maximum(q["rho"] * q["rho"], 1e-30) + c["p"] / jnp.maximum(
+            c["rho"] * c["rho"], 1e-30
+        )
+        coef = -c["mass"] * term
+        return [coef * ctx.gx, coef * ctx.gy]
+
+    return SweepOp(name="accel", n_out=2, dyn_names=("rho", "p"), emit=emit)
+
+
+def div_op(w2020: bool):
+    """div(A) fluid sum (simulation.rs:1552-1592); caller divides by rho_i if needed."""
+
+    def emit(q, c, ctx):
+        dq_dot = (c["qx"] - q["qx"]) * ctx.gx + (c["qy"] - q["qy"]) * ctx.gy
+        if w2020:
+            return [c["mass"] / jnp.maximum(c["rho"], 1e-30) * dq_dot]
+        return [c["mass"] * dq_dot]
+
+    return SweepOp(name="div", n_out=1, dyn_names=("rho", "qx", "qy"), emit=emit)
+
+
+def omega_op():
+    """IISPH2 Omega neighbor sum (simulation.rs:2262-2311)."""
+    srbs = kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+
+    def emit(q, c, ctx):
+        H_ij = ctx.h_ij * srbs
+        return [c["mass"] * kernels.kernel_dw_dH(ctx.r, H_ij, dim=2)]
+
+    return SweepOp(name="omega", n_out=1, emit=emit)
+
+
+def normal_op(params: SimulationParams):
+    """EmptyAngle SPH normal: -(m_i/rho0) grad W (simulation.rs:553-560)."""
+
+    def emit(q, c, ctx):
+        coef = -(q["mass"] / params.rest_density)
+        return [coef * ctx.gx, coef * ctx.gy]
+
+    return SweepOp(name="normal", n_out=2, emit=emit)
+
+
+def _range_ok(q, c, ctx, params: SimulationParams):
+    """is_neighbor_in_level_estimation_range (simulation.rs:697-723), receiver side."""
+    if params.support_length_estimation not in (
+        SupportLengthEstimation.FromDistribution,
+        SupportLengthEstimation.FromDistribution2,
+    ):
+        return None
+    radius = kernels.sphere_volume_to_radius(q["mass"] / params.rest_density, dim=2)
+    return ctx.r <= radius * params.maximum_range
+
+
+def cone_op(params: SimulationParams):
+    """EmptyAngle 50-degree cone scan -> max hit (simulation.rs:566-607)."""
+    threshold = math.cos(50.0 * math.pi / 180.0)
+
+    def emit(q, c, ctx):
+        # direction i -> j is -diff/r
+        d = (-ctx.dx * q["unx"] - ctx.dy * q["uny"]) / (ctx.r + 1e-6)
+        hit = d > threshold
+        rok = _range_ok(q, c, ctx, params)
+        if rok is not None:
+            hit = hit & rok
+        return [hit.astype(jnp.float32)]
+
+    return SweepOp(name="cone", n_out=1, dyn_names=("unx", "uny"), emit=emit,
+                   reduce="max", fill=0.0)
+
+
+def wavefront_op(params: SimulationParams):
+    """Level propagation sweep: max_j has_j ? (lvl_j - r) : -inf (simulation.rs:729-801)."""
+
+    def emit(q, c, ctx):
+        ok = c["has"] > 0.5
+        rok = _range_ok(q, c, ctx, params)
+        if rok is not None:
+            ok = ok & rok
+        return [jnp.where(ok, c["lvl"] - ctx.r, NEG_BIG)]
+
+    return SweepOp(name="wavefront", n_out=1, dyn_names=("lvl", "has"), emit=emit,
+                   reduce="max", fill=NEG_BIG)
+
+
+def smooth_op():
+    """Volume-weighted level smoothing over the STALE pair set with kernels at the
+    ADVECTED positions (simulation.rs:2052-2058 + :2709-2722): the pair mask uses the
+    statics (binning) positions; W is evaluated at the xnew/ynew channels."""
+
+    def emit(q, c, ctx):
+        dxn = q["xnew"] - c["xnew"]
+        dyn = q["ynew"] - c["ynew"]
+        rn = jnp.sqrt(jnp.maximum(dxn * dxn + dyn * dyn, 1e-30))
+        w = kernels.kernel_w(rn, ctx.h_ij, dim=2)
+        vw = c["mass"] / jnp.maximum(c["rho"], 1e-30) * w
+        return [vw * c["dist"], vw]
+
+    return SweepOp(name="smooth", n_out=2, dyn_names=("rho", "dist", "xnew", "ynew"),
+                   emit=emit)
+
+
+def h_w_sum_op():
+    return SweepOp(name="h_w_sum", n_out=1, emit=lambda q, c, ctx: [ctx.w])
+
+
+def h_vw_sum_op(params: SimulationParams):
+    return SweepOp(
+        name="h_vw_sum", n_out=1,
+        emit=lambda q, c, ctx: [c["mass"] / params.rest_density * ctx.w],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jacobi pressure loop (relaxed Jacobi, simulation.rs:1405-1480) in sorted space.
+
+
+def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
+                params: SimulationParams, dt, rho) -> SolveResult:
+    """accel_fn(p) -> (C,2); div_fn(accel) -> (C,); both include boundary terms."""
+    total = aii.shape[0]
+    singular = jnp.abs(aii) < SINGULAR_AII_EPS
+    aii_safe = jnp.where(singular, 1.0, aii)
+    w = jnp.float32(params.jacobi_omega)
+
+    def one_sweep(p):
+        accel = accel_fn(p)
+        a_p = div_fn(accel)
+        p_next = p + w * (src - a_p) / aii_safe
+        p_next = jnp.where(singular, 0.0, p_next)
+        if residual_type == DENSITY_ERROR:
+            predicted = rho * dt * dt * (src - a_p)
+        else:
+            predicted = dt * (src - a_p)
+        clamped = p_next <= 0.0
+        p_next = jnp.where(clamped, 0.0, p_next)
+        is_normal = alive & (~singular) & (~clamped)
+        n_normal = jnp.sum(is_normal)
+        avg = jnp.sum(jnp.where(is_normal, predicted, 0.0)) / jnp.maximum(
+            n_normal, 1
+        ).astype(jnp.float32)
+        avg = jnp.where(n_normal > 0, avg, jnp.nan)
+        mx = jnp.max(jnp.where(is_normal, jnp.abs(predicted), 0.0))
+        return p_next, predicted, dict(
+            normal=n_normal,
+            singular=jnp.sum(alive & singular),
+            negative=jnp.sum(alive & (~singular) & clamped),
+            avg=avg,
+            max=mx,
+        )
+
+    def converged(st):
+        if residual_type == DENSITY_ERROR:
+            ok = jnp.abs(st["avg"] / params.rest_density) < max_avg_error
+        else:
+            ok = jnp.abs(st["avg"]) < max_avg_error / dt
+        return (st["normal"] == 0) | ok
+
+    def cond(c):
+        return ~c["done"]
+
+    def body(c):
+        p_next, perr, st = one_sweep(c["pressure"])
+        brk = (converged(st) & (c["iters"] > 1)) | (c["iters"] == params.max_iters)
+        return dict(
+            pressure=p_next,
+            iters=jnp.where(brk, c["iters"], c["iters"] + 1),
+            done=brk,
+            avg=st["avg"], max=st["max"], normal=st["normal"],
+            singular=st["singular"], negative=st["negative"],
+            density_error=perr if residual_type == DENSITY_ERROR else c["density_error"],
+        )
+
+    init = dict(
+        pressure=jnp.zeros(total, jnp.float32),
+        iters=jnp.int32(0), done=jnp.bool_(False),
+        avg=jnp.float32(0.0), max=jnp.float32(0.0),
+        normal=jnp.int32(0), singular=jnp.int32(0), negative=jnp.int32(0),
+        density_error=jnp.zeros(total, jnp.float32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    final_accel = accel_fn(out["pressure"])
+    return SolveResult(
+        pressure=out["pressure"],
+        pressure_accel=final_accel,
+        density_error=out["density_error"],
+        iterations=out["iters"],
+        avg_error=out["avg"],
+        max_error=out["max"],
+        normal_count=out["normal"],
+        singular_count=out["singular"],
+        negative_count=out["negative"],
+    )

@@ -1,0 +1,413 @@
+"""Tile-backend step orchestration: the round-2 production hot path.
+
+Same stage order and semantics as models/grid_step.py / models/simulation.py
+(single_step_without_adaptivity, simulation.rs:1980-2730), with every pair sweep
+running on the sorted-tile engine (ops/tiles.py + ops/pallas_sweeps.py). One sort
+per step (cells sized for the largest search radius) serves the extended
+level-estimation sweep and the 2h physics sweeps via per-sweep radius masks — the
+analogue of build-at-extended-range + filter_down (simulation.rs:2023-2058).
+
+All per-particle intermediates live in SORTED order; results are unsorted once at
+the end of the step. Reference citations live next to each stage in grid_step.py
+and models/tile_physics.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import kernels
+from ..ops.pallas_sweeps import NEG_BIG, run_sweep
+from ..ops.tiles import TileBins, TileConfig, build_tiles, sort_fields, sort_one, unsort, window_meta
+from ..utils.params import (
+    FillStashWith,
+    HybridDfsphDensitySourceTerm,
+    LevelEstimationMethod,
+    OperatorDiscretization,
+    ParticleSizes,
+    PressureSolverMethod,
+    SimulationParams,
+    SupportLengthEstimation,
+)
+from . import boundary as bnd
+from . import grid_physics as gp
+from . import tile_physics as tp
+from .grid_step import max_scale, physics_scale
+from .solver import DENSITY_ERROR, DIVERGENCE_ERROR
+from .state import FluidState
+
+
+def supports_tile_backend(params: SimulationParams) -> bool:
+    return not (params.constrain_neighborhood_count or params.check_aii)
+
+
+def _stack(*cols):
+    return jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+
+
+def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileConfig,
+                      boundary_handler):
+    """One full step on the sorted-tile backend. Returns (new_state, dt, diag)."""
+    diag = {}
+    adaptive = params.particle_sizes == ParticleSizes.Adaptive
+
+    # 1. smoothing-length update (simulation.rs:1999-2016)
+    if adaptive:
+        if params.support_length_estimation == SupportLengthEstimation.FromMass:
+            h = kernels.smoothing_length_from_mass(state.mass, params.rest_density, 2)
+            h_next = state.h_next
+        else:
+            h = state.h_next
+            h_next = state.h_next
+    else:
+        h = state.h
+        h_next = state.h_next
+    h_eff = h if adaptive else jnp.full_like(h, jnp.float32(params.h))
+
+    alive = state.alive
+    pos = state.position
+
+    # 2. sort into the tile layout at the largest search radius
+    bins = build_tiles(pos, h_eff * jnp.float32(tcfg.mscale), h_eff, alive, tcfg)
+    diag["neighbor_overflow"] = (bins.overflow, jnp.int32(0), bins.level_overflow)
+
+    # sorted static table [x, y, h, mass] + extras
+    st = sort_fields(bins, [pos, h_eff, state.mass])
+    wm = window_meta(tcfg, bins, st)
+    alive_s = st[:, 2] > 0.0
+    pos_s = st[:, 0:2]
+    h_s = st[:, 2]
+    mass_s = st[:, 3]
+    h_raw_s = sort_one(bins, h)
+    vel_s = sort_one(bins, state.velocity)
+
+    pscale = float(physics_scale(params))
+    ext_scale = float(params.level_estimation_range / kernels.ETA)
+
+    def sweep(op, dyn, scale):
+        return run_sweep(tcfg, bins, st, dyn, op, scale, wmeta=wm)
+
+    # boundary terms on the sorted positions (elementwise per particle)
+    h_safe = jnp.maximum(h_raw_s, 1e-6)
+    bt = boundary_handler.update_after_advect(pos_s, h_safe, params)
+    bst = bnd.solver_terms(bt, pos_s, h_safe, params)
+    G_s = jnp.where(alive_s[:, None], bst.G, 0.0)
+    bdens_s = jnp.where(alive_s, bnd.density_boundary_term(bt, pos_s, h_safe, params), 0.0)
+    dist_b = bnd.distance_to_boundary(bt)
+    lam = bnd.lambda_sum(bt)
+    lam_s = jnp.where(alive_s, lam, 0.0) if lam is not None else jnp.zeros_like(h_s)
+
+    # 3. level estimation (pre-advection; simulation.rs:2018-2058)
+    level_s = sort_one(bins, state.level)
+    has_s = sort_one(bins, state.has_level.astype(jnp.float32)) > 0.5
+    flag_surface = state.flag_is_fluid_surface
+    flag_insufficient = state.flag_insufficient_neighs
+    do_levels = params.level_estimation_active()
+    if do_levels and not params.level_estimation_after_advection:
+        assert params.level_estimation_method != LevelEstimationMethod.CenterDiff
+        level_s, has_s, surf_s, insuf_s = _level_estimation(
+            tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s, params
+        )
+        flag_surface = unsort(bins, surf_s, None, False) & alive
+        flag_insufficient = unsort(bins, insuf_s, None, False) & alive
+
+    # neighbor count at the physics radius (diagnostic; simulation.rs:2072-2074)
+    if params.force_diagnostic_fields:
+        ncount = sweep(tp.COUNT_OP, None, pscale)[:, 0]
+        neighbor_count = unsort(bins, ncount, None, 0.0).astype(jnp.int32)
+    else:
+        neighbor_count = state.neighbor_count
+
+    # 6. h_next estimation (simulation.rs:2090-2143)
+    if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
+        hn_s = _h_next_distribution(sweep, st, lam_s, params, pscale)
+        hn = unsort(bins, hn_s, None, 0.0)
+        h_next = jnp.where(alive & (bins.pp < tcfg.capacity), hn, state.h_next)
+
+    # 9. CFL dt (simulation.rs:2182-2191) — flat arrays
+    sr = h_eff * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+    v2 = jnp.sum(state.velocity * state.velocity, -1)
+    val = jnp.where(alive, sr * sr / (v2 + 0.01), jnp.inf)
+    dt = jnp.minimum(jnp.float32(params.max_dt), params.cfl_factor * jnp.sqrt(jnp.min(val)))
+    diag["dt"] = dt
+
+    # 10. density (simulation.rs:2204)
+    rho_s = sweep(tp.DENSITY_OP, None, pscale)[:, 0] + bdens_s
+    rho_s = jnp.where(alive_s, rho_s, 1.0)
+    density = jnp.where(alive, unsort(bins, rho_s, None, 1.0), 1.0)
+
+    # 11. constant field diagnostic (simulation.rs:2235-2248); viz-only, gated
+    if params.force_diagnostic_fields:
+        cf_s = sweep(tp.constant_field_op(), _stack(rho_s), pscale)[:, 0]
+        constant_field = unsort(bins, cf_s + bdens_s / params.rest_density, None, 0.0)
+    else:
+        constant_field = state.constant_field
+
+    # 12 + first non-pressure kick: fused prep sweep (a_ii sums + viscosity)
+    method = params.pressure_solver_method
+    first_np_at_start = (
+        method != PressureSolverMethod.HybridDFSPH
+        or params.hybrid_dfsph_non_pressure_accel_before_divergence_free
+    )
+
+    def finish_nonpressure(visc):
+        accel = visc + jnp.asarray(params.gravity_vector(2), jnp.float32)[None, :]
+        if params.pull_fluid_to is not None:
+            target = jnp.asarray(params.pull_fluid_to[:2], jnp.float32)
+            d = target[None, :] - pos_s
+            accel = accel + d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9
+            ) * 13.0
+        return accel
+
+    sf_like = {"rho": rho_s, "mass": mass_s, "h": h_s}
+
+    if first_np_at_start:
+        res = sweep(tp.prep_op(params), _stack(rho_s, vel_s[:, 0], vel_s[:, 1]), pscale)
+        sums = {
+            "mj_wij": res[:, 0:2],
+            "mj_wij_sq": res[:, 2],
+            "mj_by_rhoj_wij": res[:, 3:5],
+            "mj_by_rhoj_wij_sq": res[:, 5],
+        }
+        visc0 = res[:, 6:8]
+        aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
+        first_np_vel = vel_s + dt * finish_nonpressure(visc0)
+    else:
+        res = sweep(tp.aii_sums_op(), _stack(rho_s), pscale)
+        sums = {
+            "mj_wij": res[:, 0:2],
+            "mj_wij_sq": res[:, 2],
+            "mj_by_rhoj_wij": res[:, 3:5],
+            "mj_by_rhoj_wij_sq": res[:, 5],
+        }
+        aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
+        first_np_vel = None
+    aii_s = jnp.where(alive_s, aii_s, 0.0)
+    aii = jnp.where(alive, unsort(bins, aii_s, None, 0.0), 0.0)
+    diag["negative_aii"] = jnp.sum(alive & (aii < 0.0) & (bins.pp < tcfg.capacity))
+
+    # 13. pressure solve + integrate (simulation.rs:2261-2671), sorted space
+    w2020 = params.operator_discretization == OperatorDiscretization.Winchenbach2020
+    zero_q = jnp.zeros(2, jnp.float32)
+
+    def accel_fn(p):
+        a = sweep(tp.accel_op(), _stack(rho_s, p), pscale)[:, 0:2]
+        return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
+
+    def div_fn(q):
+        s = sweep(tp.div_op(w2020), _stack(rho_s, q[:, 0], q[:, 1]), pscale)[:, 0]
+        if not w2020:
+            s = s / jnp.maximum(rho_s, 1e-30)
+        return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
+
+    def jacobi(src, tol, rtype):
+        return tp.tile_jacobi(
+            accel_fn, div_fn, aii_s, src, alive_s, tol, rtype, params, dt, rho_s
+        )
+
+    def nonpressure(v):
+        if first_np_vel is not None and v is vel_s:
+            return first_np_vel
+        visc = sweep(tp.visc_op(params), _stack(rho_s, v[:, 0], v[:, 1]), pscale)[:, 0:2]
+        return v + dt * finish_nonpressure(visc)
+
+    def src_full(v):
+        div_v = div_fn(v)
+        next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
+        return -(params.rest_density - rho_s) / (next_rho * dt * dt) - div_v / dt
+
+    def src_only_density():
+        next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
+        return -(params.rest_density - rho_s) / (next_rho * dt * dt)
+
+    omega_s = sort_one(bins, state.omega, 1.0)
+    pos2_s = pos_s
+    vel2_s = vel_s
+
+    if method in (PressureSolverMethod.IISPH, PressureSolverMethod.IISPH2):
+        if method == PressureSolverMethod.IISPH2:
+            from .state import SIZE_LARGE
+
+            sum_term = sweep(tp.omega_op(), None, pscale)[:, 0]
+            srbs = kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+            H_i = h_s * srbs
+            rr = jnp.maximum(rho_s, 1e-30)
+            omega_neigh = 1.0 + H_i / (3.0 * rr) * sum_term
+            self_term = mass_s * kernels.kernel_dw_dH(jnp.zeros_like(H_i), H_i, dim=2)
+            omega_large = 1.0 + H_i / (3.0 * rr) * self_term
+            size_class_s = sort_one(bins, state.size_class.astype(jnp.float32))
+            omega_s = jnp.clip(
+                jnp.where(size_class_s == float(SIZE_LARGE), omega_large, omega_neigh),
+                0.125, 2.5,
+            )
+        vel2_s = nonpressure(vel_s)
+        if method == PressureSolverMethod.IISPH2:
+            src = -(params.rest_density - rho_s) / (params.rest_density * dt * dt) - (
+                div_fn(vel2_s) / (dt * omega_s)
+            )
+        else:
+            src = src_full(vel2_s)
+        res = jacobi(src, params.iisph_max_avg_density_error, DENSITY_ERROR)
+        pressure_s = res.pressure
+        accel_sv = res.pressure_accel
+        if method == PressureSolverMethod.IISPH2:
+            pressure_s = pressure_s / jnp.sqrt(omega_s)
+            accel_sv = accel_fn(pressure_s)
+        vel2_s = vel2_s + dt * accel_sv
+        pos2_s = pos2_s + dt * vel2_s
+        diag["density_iterations"] = res.iterations
+        diag["density_avg_error"] = res.avg_error
+        diag["density_max_error"] = res.max_error
+        diag["solver_stats"] = (res.normal_count, res.singular_count, res.negative_count)
+        src_s, derr_s = src, res.density_error
+
+    elif method == PressureSolverMethod.OnlyDivergence:
+        vel2_s = nonpressure(vel_s)
+        src = -div_fn(vel2_s) / dt
+        res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR)
+        vel2_s = vel2_s + dt * res.pressure_accel
+        pos2_s = pos2_s + dt * vel2_s
+        pressure_s, accel_sv = res.pressure, res.pressure_accel
+        diag["div_iterations"] = res.iterations
+        diag["div_avg_error"] = res.avg_error
+        diag["solver_stats"] = (res.normal_count, res.singular_count, res.negative_count)
+        src_s, derr_s = src, res.density_error
+
+    else:  # HybridDFSPH
+        if params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
+            vel2_s = nonpressure(vel_s)
+        src = -div_fn(vel2_s) / dt
+        res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR)
+        vel2_s = vel2_s + dt * res_div.pressure_accel
+        diag["div_iterations"] = res_div.iterations
+        diag["div_avg_error"] = res_div.avg_error
+        if not params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
+            vel2_s = nonpressure(vel2_s)
+        if params.hybrid_dfsph_density_source_term == HybridDfsphDensitySourceTerm.DensityAndDivergence:
+            src2 = src_full(vel2_s)
+        else:
+            src2 = src_only_density()
+        res_den = jacobi(src2, params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR)
+        diag["density_iterations"] = res_den.iterations
+        diag["density_avg_error"] = res_den.avg_error
+        diag["density_max_error"] = res_den.max_error
+        diag["solver_stats"] = (res_den.normal_count, res_den.singular_count, res_den.negative_count)
+        accel_sv = res_den.pressure_accel
+        pos2_s = pos2_s + dt * vel2_s + dt * dt * accel_sv
+        vel2_s = vel2_s + dt * accel_sv * jnp.minimum(dt * params.hybrid_dfsph_factor, 1.0)
+        pressure_s = res_den.pressure
+        src_s, derr_s = src2, res_den.density_error
+
+    # 15. level-field smoothing (simulation.rs:2709-2722): advected positions over the
+    # stale pre-advection pair set
+    level, has_level, level_old = state.level, state.has_level, state.level_old
+    if do_levels:
+        max_depth = -params.maximum_surface_distance
+        dist_s = jnp.where(has_s, jnp.maximum(level_s, max_depth), max_depth)
+        sm = sweep(
+            tp.smooth_op(),
+            _stack(rho_s, dist_s, pos2_s[:, 0], pos2_s[:, 1]),
+            pscale,
+        )
+        sm_s = sm[:, 0] / jnp.maximum(sm[:, 1], 1e-30)
+        level = unsort(bins, sm_s, None, max_depth)
+        level = jnp.where(alive, level, 0.0)
+        has_level = alive & (bins.pp < tcfg.capacity)
+        level_old = level
+
+    # gather integrated state back to flat order
+    ok = (bins.pp < tcfg.capacity)[:, None]
+    pos2 = jnp.where(ok & alive[:, None], unsort(bins, pos2_s, None, 0.0), pos)
+    vel2 = jnp.where(ok & alive[:, None], unsort(bins, vel2_s, None, 0.0), state.velocity)
+
+    new_state = state.replace(
+        position=pos2,
+        velocity=vel2,
+        pressure=unsort(bins, pressure_s, None, 0.0),
+        pressure_accel=unsort(bins, accel_sv, None, 0.0),
+        ppe_source_term=unsort(bins, src_s, None, 0.0),
+        density_error=unsort(bins, derr_s, None, 0.0),
+        omega=jnp.where(alive, unsort(bins, omega_s, None, 1.0), 1.0),
+        density=density,
+        aii=aii,
+        constant_field=constant_field,
+        h=h,
+        h_next=h_next,
+        level=level,
+        has_level=has_level,
+        level_old=level_old,
+        neighbor_count=neighbor_count,
+        flag_is_fluid_surface=flag_surface,
+        flag_insufficient_neighs=flag_insufficient,
+        time=state.time + dt,
+        step_number=state.step_number + 1,
+    )
+    return new_state, dt, diag
+
+
+def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s,
+                      params: SimulationParams):
+    """EmptyAngle + wavefront propagation in sorted space (simulation.rs:539-927)."""
+    count = sweep(tp.COUNT_OP, None, ext_scale)[:, 0]
+    nrm = sweep(tp.normal_op(params), None, ext_scale)
+    norm2 = jnp.sum(nrm * nrm, axis=1)
+    unit = nrm / jnp.sqrt(jnp.maximum(norm2, 1e-30))[:, None]
+    cone = sweep(tp.cone_op(params), _stack(unit[:, 0], unit[:, 1]), ext_scale)[:, 0] > 0.5
+
+    insufficient = count < (2 * 2 - 1)
+    symmetric = norm2 < 1e-5
+    near_boundary = jnp.zeros_like(symmetric)
+    if (not params.boundary_is_fluid_surface) and dist_b is not None:
+        near_boundary = dist_b < h_raw_s * 1.5
+    is_interior = jnp.where(
+        insufficient, False, jnp.where(symmetric, True, jnp.where(near_boundary, True, cone))
+    )
+    is_surface = (~is_interior) & alive_s
+    level = jnp.zeros_like(h_raw_s)
+    has = is_surface
+    flag_insufficient = insufficient & alive_s
+
+    def one_sweep(lvl, hasv):
+        est = sweep(
+            tp.wavefront_op(params), _stack(lvl, hasv.astype(jnp.float32)), ext_scale
+        )[:, 0]
+        newly = (~hasv) & (est > NEG_BIG * 0.5) & alive_s
+        return jnp.where(newly, est, lvl), hasv | newly, jnp.any(newly)
+
+    level, has, changed = one_sweep(level, has)
+
+    def cond(c):
+        return c[2]
+
+    def body(c):
+        return one_sweep(c[0], c[1])
+
+    level, has, _ = jax.lax.while_loop(cond, body, (level, has, changed))
+    return level, has, is_surface, flag_insufficient
+
+
+def _h_next_distribution(sweep, st, lam_s, params: SimulationParams, pscale):
+    """FromDistribution estimators (simulation.rs:1873-1971) in sorted space."""
+    mode = params.support_length_estimation
+    h_s = st[:, 2]
+    mass_s = st[:, 3]
+    if mode == SupportLengthEstimation.FromDistribution2:
+        v_w_sum = sweep(tp.h_vw_sum_op(params), None, pscale)[:, 0]
+        vi = mass_s / params.rest_density
+        volume_estimate = vi / jnp.maximum(v_w_sum + lam_s, 1e-30)
+    else:
+        w_sum = sweep(tp.h_w_sum_op(), None, pscale)[:, 0]
+        volume_estimate = (1.0 - jnp.minimum(lam_s, 0.5)) / jnp.maximum(w_sum, 1e-30)
+    h_new = kernels.ETA * kernels.sphere_volume_to_radius(volume_estimate, dim=2)
+    h_next = 0.5 * h_new + 0.5 * h_s
+    if mode == SupportLengthEstimation.FromDistributionClamped1:
+        h_next = jnp.minimum(
+            h_next, kernels.smoothing_length_from_mass(mass_s, params.rest_density, 2)
+        )
+    elif mode == SupportLengthEstimation.FromDistributionClamped2:
+        h_next = jnp.minimum(
+            h_next, 2.0 * kernels.smoothing_length_from_mass(mass_s, params.rest_density, 2)
+        )
+    return h_next

@@ -188,6 +188,40 @@ def _initial_max_occupancy(state, params, gcfg) -> int:
     return occ
 
 
+def _tile_tq(state, params, gcfg) -> int:
+    """Pick the query-tile width: the largest of 64/32/16 whose worst-case cell-row
+    padding (one partial tile per occupied row, x2.5 headroom for row churn) still
+    fits the capacity. Larger tiles amortize per-tile kernel overhead; smaller ones
+    waste less capacity on row padding (ops/tiles.py layout)."""
+    from .models.grid_step import max_scale
+
+    pos = np.asarray(state.position)[np.asarray(state.alive)]
+    n = len(pos)
+    if params.particle_sizes == ParticleSizes.Uniform:
+        h = np.full(n, params.h, np.float32)
+    else:
+        h = np.asarray(
+            kernels.smoothing_length_from_mass(
+                np.asarray(state.mass)[np.asarray(state.alive)], params.rest_density, 2
+            )
+        )
+    sr = h * max_scale(params)
+    level = np.clip(
+        np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int),
+        0, gcfg.levels - 1,
+    )
+    rows = 0
+    for l in np.unique(level):
+        sel = level == l
+        cell = gcfg.cell(int(l))
+        cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
+        rows += len(np.unique(cy))
+    for tq in (64, 32, 16):
+        if n + 2.5 * rows * tq <= state.capacity:
+            return tq
+    return 16
+
+
 def grid_config_for(
     params: SimulationParams, scene: scene_mod.SceneConfig, state, capacity: int,
     mpc: Optional[int] = None,
@@ -257,10 +291,12 @@ def create_simulation(
 ) -> Simulation:
     """init_simulation_params + init_fluid_sim + step compilation.
 
-    backend: 'grid' (dense gather-free engine), 'lists' (neighbor-list reference
-    implementation), or 'auto' (grid when the config supports it).
+    backend: 'tiles' (sorted-tile Pallas engine, the production hot path), 'grid'
+    (dense grid engine), 'lists' (neighbor-list reference implementation), or
+    'auto' (tiles when the config supports it).
     """
     from .models.grid_step import supports_grid_backend
+    from .models.tile_step import supports_tile_backend
 
     params = params_mod.init_h_for_uniform(
         params, scene.blocks[0].spacing, scene.blocks[0].volume_fill_ratio
@@ -272,10 +308,19 @@ def create_simulation(
     boundary_handler = scene_mod.make_boundary_handler(scene, params)
 
     if backend == "auto":
-        backend = "grid" if supports_grid_backend(params) else "lists"
+        backend = "tiles" if supports_tile_backend(params) else "lists"
     grid_cfg = None
+    tile_cfg = None
     if backend == "grid":
         grid_cfg = grid_config_for(params, scene, state, state.capacity)
+    elif backend == "tiles":
+        from .models.grid_step import max_scale
+        from .ops.tiles import TileConfig
+
+        assert state.capacity % 64 == 0, "tile backend needs capacity % 64 == 0"
+        gcfg = grid_config_for(params, scene, state, state.capacity)
+        tq = _tile_tq(state, params, gcfg)
+        tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq)
 
     if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
         params.splitting
@@ -284,7 +329,10 @@ def create_simulation(
 
         split_patterns = load_default_patterns()
 
-    step_fn = make_step_fn(params, ncfg, boundary_handler, split_patterns, grid_cfg=grid_cfg)
+    step_fn = make_step_fn(
+        params, ncfg, boundary_handler, split_patterns, grid_cfg=grid_cfg,
+        tile_cfg=tile_cfg,
+    )
     return Simulation(
         params=params,
         scene=scene,

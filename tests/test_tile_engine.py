@@ -1,0 +1,219 @@
+"""Sorted-tile engine tests: builder invariants, kernel parity vs brute force
+(interpret mode), and backend differentials (tiles vs grid) on real scenes."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_sph_tpu.models import scene as scene_mod
+from adaptive_sph_tpu.models import tile_physics as tp
+from adaptive_sph_tpu.ops.grid import make_grid_config
+from adaptive_sph_tpu.ops.pallas_sweeps import SweepOp, run_sweep, sweep_bruteforce
+from adaptive_sph_tpu.ops.tiles import (
+    TILE,
+    TileConfig,
+    build_tiles,
+    sort_fields,
+    unsort,
+)
+from adaptive_sph_tpu.runner import create_simulation
+from adaptive_sph_tpu.utils.params import (
+    InitBoundaryHandlerType,
+    LevelEstimationMethod,
+    ParticleSizes,
+    PressureSolverMethod,
+    SimulationParams,
+)
+
+
+def _two_level_cloud(C=2048, n_fine=700, n_coarse=5, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((C, 2), np.float32)
+    # clustered fine particles (keeps row padding within capacity)
+    nside = int(np.ceil(np.sqrt(n_fine)))
+    ii = np.arange(n_fine)
+    pos[:n_fine] = np.stack(
+        [-0.9 + (ii % nside) * 0.012, -0.9 + (ii // nside) * 0.012], -1
+    ) + rng.normal(0, 0.002, (n_fine, 2))
+    pos[n_fine:n_fine + n_coarse] = rng.uniform(0.0, 0.9, (n_coarse, 2))
+    h = np.zeros(C, np.float32)
+    h[:n_fine] = 0.009
+    h[n_fine:n_fine + n_coarse] = 0.35
+    mass = np.zeros(C, np.float32)
+    mass[:n_fine] = 6e-5
+    mass[n_fine:n_fine + n_coarse] = 0.15
+    alive = np.zeros(C, bool)
+    alive[:n_fine + n_coarse] = True
+    # scatter order so the sort is non-trivial
+    perm = rng.permutation(C)
+    return (jnp.asarray(pos[perm]), jnp.asarray(h[perm]), jnp.asarray(mass[perm]),
+            jnp.asarray(alive[perm]))
+
+
+def _cfg(C, tq=32):
+    g = make_grid_config((-1, -1), (1, 1), 2.0, 0.009, 0.35, C)
+    g = dataclasses.replace(g, populated=(0, g.levels - 1))
+    return TileConfig.from_grid(g, 2.0, tq=tq)
+
+
+def test_builder_invariants():
+    pos, h, mass, alive = _two_level_cloud()
+    cfg = _cfg(pos.shape[0])
+    bins = build_tiles(pos, h * 2.0, h, alive, cfg)
+    assert int(bins.overflow) == 0
+    assert int(bins.level_overflow) == 0
+    perm = np.asarray(bins.perm)
+    pp = np.asarray(bins.pp)
+    C = pos.shape[0]
+    a = np.asarray(alive)
+    # every alive particle placed; roundtrip holds
+    assert (pp[a] < C).all()
+    idx = np.where(a)[0]
+    assert (perm[pp[idx]] == idx).all()
+    # cell_starts monotone
+    cs = np.asarray(bins.cell_starts)
+    assert (np.diff(cs) >= 0).all()
+    # sorted y is row-monotone per level: check keys reconstructed from positions
+    st = np.asarray(sort_fields(bins, [pos, h, mass]))
+    live = st[:, 2] > 0
+    # tiles never straddle levels: each tq-tile has at most one distinct h-scale class
+    tq = cfg.tq
+    hs = st[:, 2].reshape(-1, tq)
+    for t in range(hs.shape[0]):
+        vals = hs[t][hs[t] > 0]
+        if len(vals):
+            assert (vals > 0.1).all() or (vals < 0.1).all()
+
+
+OPS = [
+    ("density", tp.DENSITY_OP, 0),
+    ("count", tp.COUNT_OP, 0),
+    ("aii_sums", tp.aii_sums_op(), 1),
+    ("accel", tp.accel_op(), 2),
+    ("div", tp.div_op(False), 3),
+    ("div2020", tp.div_op(True), 3),
+    ("h_w_sum", tp.h_w_sum_op(), 0),
+]
+
+
+@pytest.mark.parametrize("name,op,dynkind", OPS)
+def test_sweep_parity_vs_bruteforce(name, op, dynkind):
+    pos, h, mass, alive = _two_level_cloud(C=1024, n_fine=350, n_coarse=4, seed=3)
+    cfg = _cfg(1024)
+    bins = build_tiles(pos, h * 2.0, h, alive, cfg)
+    st = sort_fields(bins, [pos, h, mass])
+    rng = np.random.default_rng(7)
+    C = 1024
+    rho = jnp.asarray(rng.uniform(0.8, 1.2, C).astype(np.float32))
+    if dynkind == 0:
+        dyn = None
+    elif dynkind == 1:
+        dyn = rho[:, None]
+    elif dynkind == 2:
+        p = jnp.asarray(rng.uniform(0, 10, C).astype(np.float32))
+        dyn = jnp.stack([rho, p], 1)
+    else:
+        q = jnp.asarray(rng.normal(0, 1, (C, 2)).astype(np.float32))
+        dyn = jnp.concatenate([rho[:, None], q], 1)
+    got = run_sweep(cfg, bins, st, dyn, op, 2.0)
+    want = sweep_bruteforce(cfg, st, dyn, op, 2.0)
+    live = np.asarray(st[:, 2]) > 0
+    g = np.asarray(got)[live]
+    w = np.asarray(want)[live]
+    # tolerance scales with the column magnitude: antisymmetric gradient sums
+    # cancel to ~0 and only differ by f32 association order
+    scale = np.max(np.abs(w), axis=0, keepdims=True) + 1e-6
+    assert np.max(np.abs(g - w) / scale) < 1e-5, name
+
+
+def test_max_reduce_parity():
+    pos, h, mass, alive = _two_level_cloud(C=1024, n_fine=350, n_coarse=4, seed=5)
+    cfg = _cfg(1024)
+    bins = build_tiles(pos, h * 2.0, h, alive, cfg)
+    st = sort_fields(bins, [pos, h, mass])
+    params = SimulationParams()
+    op = tp.wavefront_op(params)
+    rng = np.random.default_rng(11)
+    lvl = jnp.asarray(rng.uniform(-1, 0, 1024).astype(np.float32))
+    has = jnp.asarray((rng.uniform(0, 1, 1024) > 0.5).astype(np.float32))
+    dyn = jnp.stack([lvl, has], 1)
+    got = run_sweep(cfg, bins, st, dyn, op, 2.0)
+    want = sweep_bruteforce(cfg, st, dyn, op, 2.0)
+    live = np.asarray(st[:, 2]) > 0
+    np.testing.assert_allclose(np.asarray(got)[live], np.asarray(want)[live],
+                               rtol=1e-5, atol=1e-5)
+
+
+def _dam_scene(spacing2=None):
+    blocks = [{"pos": [0.4, -0.5], "size": [0.55, 1.4], "spacing": 0.06,
+               "volume_fill_ratio": 0.93, "velocity": [0, 0]}]
+    if spacing2:
+        blocks.append({"pos": [-0.95, -0.5], "size": [0.55, 1.4], "spacing": spacing2,
+                       "volume_fill_ratio": 0.93, "velocity": [0, 0]})
+    return scene_mod.scene_from_dict(
+        {"boundary": {"type": "box", "width": 2, "height": 2}, "blocks": blocks}
+    )
+
+
+def _diff_backends(params, scene, steps, capacity=None):
+    out = {}
+    for backend in ("tiles", "grid"):
+        sim = create_simulation(params, scene, capacity=capacity, backend=backend)
+        for _ in range(steps):
+            sim.step()
+        out[backend] = sim.state
+    a, b = out["tiles"], out["grid"]
+    al = np.asarray(a.alive)
+    assert int(a.n) == int(b.n)
+    np.testing.assert_allclose(
+        np.asarray(a.position)[al], np.asarray(b.position)[al], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.density)[al], np.asarray(b.density)[al], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.velocity)[al], np.asarray(b.velocity)[al], atol=2e-4
+    )
+
+
+def test_backend_differential_uniform_hybrid():
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_backends(params, _dam_scene(), steps=5, capacity=1024)
+
+
+def test_backend_differential_uniform_iisph():
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.IISPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_backends(params, _dam_scene(), steps=4, capacity=1024)
+
+
+def test_backend_differential_cross_level():
+    params = SimulationParams(
+        merging=False, sharing=False, splitting=False, max_iters=60,
+        hybrid_dfsph_max_avg_density_error=0.001,
+        hybrid_dfsph_max_avg_divergence_error=0.0001,
+        hybrid_dfsph_factor=1000000.0, cfl_factor=0.3, max_dt=0.003,
+    )
+    _diff_backends(params, _dam_scene(spacing2=0.05), steps=3)
+
+
+def test_backend_differential_levels_adaptive():
+    # adaptive sizes with level estimation (EmptyAngle), no resampling
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Adaptive,
+        level_estimation_method=LevelEstimationMethod.EmptyAngle,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_backends(params, _dam_scene(spacing2=0.08), steps=3)
