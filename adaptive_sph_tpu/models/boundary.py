@@ -123,9 +123,10 @@ class WinchenbachBoundary:
 
         pen, dpen = _penalty(d, params.boundary_penalty_term)
 
-        lam_t, dlam_t = bl.lut_tables()
-        lam_lut = bl.lut_lookup(lam_t, d)
-        dlam_lut = bl.lut_lookup(dlam_t, d)
+        # gather-free piecewise-poly evaluation; matches the reference's 10k-LUT
+        # linear interpolation (lookup_table.rs:32-48) to ~2e-7 — TPU gathers are
+        # two orders of magnitude slower than the VPU Horner segments
+        lam_lut, dlam_lut = bl.lambda_dlambda_poly(d)
         # d <= -1: fully submerged -> lambda=1, dlambda=0 (boundary_winchenbach2020.rs:132-138)
         lam = jnp.where(d <= -1.0, 1.0, lam_lut)
         dlam = jnp.where(d <= -1.0, 0.0, dlam_lut)

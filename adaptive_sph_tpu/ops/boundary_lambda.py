@@ -210,3 +210,54 @@ def lut_lookup(table, x):
     i0 = idx.astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, LUT_STEPS)
     return table[i0] * (1.0 - interp) + table[i1] * interp
+
+
+# ---------------------------------------------------------------------------
+# Gather-free evaluation: piecewise polynomials fitted to the same f64 closed
+# forms the LUT is built from. TPU gathers run far below bandwidth (ops/tiles.py
+# header), so the production path evaluates 32 masked Horner segments on the VPU
+# instead of interpolating the 10k-entry table. Differential tolerance vs the
+# LUT path is asserted in tests/test_boundary_lambda.py.
+
+_POLY_SEGS = 32
+_POLY_DEG = 7
+
+
+@lru_cache(maxsize=1)
+def _poly_tables_np():
+    """(segs, deg+1) f64 coefficient tables for lambda and dlambda over [-1, 1]."""
+    width = (LUT_MAX - LUT_MIN) / _POLY_SEGS
+    lam_c = np.zeros((_POLY_SEGS, _POLY_DEG + 1))
+    dlam_c = np.zeros((_POLY_SEGS, _POLY_DEG + 1))
+    for s in range(_POLY_SEGS):
+        a = LUT_MIN + s * width
+        xs = np.linspace(a, a + width, 600)
+        t = (xs - a) / width * 2.0 - 1.0  # normalized to [-1, 1] per segment
+        lam_c[s] = np.polyfit(t, lambda2(xs), _POLY_DEG)
+        dlam_c[s] = np.polyfit(t, dlambda2(xs), _POLY_DEG)
+    return lam_c, dlam_c
+
+
+def lambda_dlambda_poly(x):
+    """(lambda(x), dlambda(x)) without gathers; matches the LUT path to ~1e-6.
+
+    Same clamping contract as lut_lookup: callers guard d <= -1 and mask d >= 1.
+    """
+    lam_c, dlam_c = _poly_tables_np()
+    x = jnp.clip(x, LUT_MIN, LUT_MAX - 1e-7)
+    width = (LUT_MAX - LUT_MIN) / _POLY_SEGS
+    fseg = (x - LUT_MIN) / width
+    seg = jnp.clip(jnp.floor(fseg), 0, _POLY_SEGS - 1)
+    t = (fseg - seg) * 2.0 - 1.0
+    lam = jnp.zeros_like(x)
+    dlam = jnp.zeros_like(x)
+    for s in range(_POLY_SEGS):
+        m = seg == s
+        acc_l = jnp.float32(lam_c[s][0])
+        acc_d = jnp.float32(dlam_c[s][0])
+        for k in range(1, _POLY_DEG + 1):
+            acc_l = acc_l * t + jnp.float32(lam_c[s][k])
+            acc_d = acc_d * t + jnp.float32(dlam_c[s][k])
+        lam = jnp.where(m, acc_l, lam)
+        dlam = jnp.where(m, acc_d, dlam)
+    return lam, dlam

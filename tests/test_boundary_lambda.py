@@ -98,3 +98,18 @@ def test_lut_matches_closed_form():
     lut_dlam = np.asarray(bl.lut_lookup(dlam_t, xs))
     assert np.max(np.abs(lut_lam - bl.lambda2(xs))) < 2e-5
     assert np.max(np.abs(lut_dlam - bl.dlambda2(xs))) < 2e-4
+
+
+def test_poly_path_matches_lut():
+    """The gather-free runtime path must match the reference-parity LUT to f32 ulps."""
+    import jax.numpy as jnp
+
+    from adaptive_sph_tpu.ops import boundary_lambda as bl
+
+    xs = jnp.asarray(np.linspace(-1.0, 0.9999999, 200001).astype(np.float32))
+    lam_t, dlam_t = bl.lut_tables()
+    l_lut = np.asarray(bl.lut_lookup(lam_t, xs))
+    d_lut = np.asarray(bl.lut_lookup(dlam_t, xs))
+    l_p, d_p = (np.asarray(a) for a in bl.lambda_dlambda_poly(xs))
+    assert np.max(np.abs(l_p - l_lut)) < 1e-6
+    assert np.max(np.abs(d_p - d_lut)) < 1e-6
