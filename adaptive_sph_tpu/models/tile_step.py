@@ -188,19 +188,53 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     aii = jnp.where(alive, unsort(bins, aii_s, None, 0.0), 0.0)
     diag["negative_aii"] = jnp.sum(alive & (aii < 0.0) & (bins.pp < tcfg.capacity))
 
-    # 13. pressure solve + integrate (simulation.rs:2261-2671), sorted space
+    # 13. pressure solve + integrate (simulation.rs:2261-2671), sorted space.
+    # The PPE operator's pair weights w_ij = m_j grad W_ij depend only on this
+    # step's frozen geometry, so they are cached ONCE (ops/pallas_matvec.py) and
+    # every Jacobi sweep becomes diag terms + two streamed matvecs; the diagonal
+    # gradient sums S1/S2 come from the fused prep sweep above.
     w2020 = params.operator_discretization == OperatorDiscretization.Winchenbach2020
     zero_q = jnp.zeros(2, jnp.float32)
+    import os as _os
 
-    def accel_fn(p):
-        a = sweep(tp.accel_op(), _stack(rho_s, p), pscale)[:, 0:2]
-        return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
+    use_wcache = _os.environ.get("ASPH_NO_WCACHE", "0") != "1"
+    if use_wcache:
+        from ..ops.pallas_matvec import build_weight_cache, weight_matvec
 
-    def div_fn(q):
-        s = sweep(tp.div_op(w2020), _stack(rho_s, q[:, 0], q[:, 1]), pscale)[:, 0]
-        if not w2020:
-            s = s / jnp.maximum(rho_s, 1e-30)
-        return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
+        wcache, wmeta_blocks, wcnt = build_weight_cache(
+            tcfg, bins, st, pscale, tcfg.b_max, wmeta=wm
+        )
+        diag["wcache_overflow"] = wcnt[1]
+        rho_inv = 1.0 / jnp.maximum(rho_s, 1e-30)
+        S1 = sums["mj_wij"]
+        S2 = sums["mj_by_rhoj_wij"]
+
+        def accel_fn(p):
+            u = p * rho_inv * rho_inv
+            mv = weight_matvec(wcache, wmeta_blocks, wcnt, u[:, None], tcfg.tq, k_out=2)
+            a = -(u[:, None] * S1) - mv
+            return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
+
+        def div_fn(q):
+            if w2020:
+                t = q * rho_inv[:, None]
+                s = weight_matvec(wcache, wmeta_blocks, wcnt, t, tcfg.tq, k_out=1)[:, 0]
+                s = s - jnp.sum(q * S2, axis=1)
+            else:
+                s = weight_matvec(wcache, wmeta_blocks, wcnt, q, tcfg.tq, k_out=1)[:, 0]
+                s = (s - jnp.sum(q * S1, axis=1)) * rho_inv
+            return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
+
+    else:
+        def accel_fn(p):
+            a = sweep(tp.accel_op(), _stack(rho_s, p), pscale)[:, 0:2]
+            return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
+
+        def div_fn(q):
+            s = sweep(tp.div_op(w2020), _stack(rho_s, q[:, 0], q[:, 1]), pscale)[:, 0]
+            if not w2020:
+                s = s / jnp.maximum(rho_s, 1e-30)
+            return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
 
     def jacobi(src, tol, rtype):
         return tp.tile_jacobi(

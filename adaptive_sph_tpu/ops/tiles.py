@@ -51,13 +51,20 @@ class TileConfig:
     populated: tuple
     mscale: float  # the largest radius_scale any sweep uses (binning bound)
     tq: int = 32  # query-tile width = cell-row padding granularity (16/32/64)
+    b_max: int = 0  # weight-cache block capacity (0 = derive)
 
     @classmethod
-    def from_grid(cls, g: GridConfig, mscale: float, tq: int = 32) -> "TileConfig":
+    def from_grid(cls, g: GridConfig, mscale: float, tq: int = 32,
+                  b_max: int = 0) -> "TileConfig":
+        if b_max <= 0:
+            # ~(3 rows x 2 chunks) per tile per populated level, x2 margin, /64-group
+            nt = g.capacity // tq
+            b_max = max(4096, nt * 12 * len(set(g.populated)))
+        b_max = ((b_max + 63) // 64) * 64
         return cls(
             origin=g.origin, cell0=g.cell0, levels=g.levels, nx0=g.nx0, ny0=g.ny0,
             capacity=g.capacity, populated=tuple(sorted(set(g.populated))),
-            mscale=float(mscale), tq=int(tq),
+            mscale=float(mscale), tq=int(tq), b_max=int(b_max),
         )
 
     def dims(self, l: int):

@@ -66,6 +66,11 @@ class Simulation:
                 )
             if not np.isfinite(float(diag["dt"])):
                 raise SimulationFailed("non-finite dt")
+            if "wcache_overflow" in diag and int(diag["wcache_overflow"]) > 0:
+                raise SimulationFailed(
+                    f"weight-cache overflow: {int(diag['wcache_overflow'])} blocks "
+                    "dropped (raise TileConfig.b_max)"
+                )
             if "aii_deviation" in diag:
                 dev = float(diag["aii_deviation"])
                 if not dev < 0.01:  # f32 tolerance (simulation.rs:1369-1374)
@@ -120,6 +125,9 @@ class Simulation:
             if "mass_conservation_error" in diags:
                 if float(np.max(np.asarray(diags["mass_conservation_error"]))) >= 0.005:
                     raise SimulationFailed("mass not conserved after adaptivity")
+            if "wcache_overflow" in diags:
+                if int(np.max(np.asarray(diags["wcache_overflow"]))) > 0:
+                    raise SimulationFailed("weight-cache overflow (raise TileConfig.b_max)")
 
         self.state = new_state
         self.counters.add_time("simulation-step", elapsed)  # whole chunk
@@ -190,7 +198,7 @@ def _initial_max_occupancy(state, params, gcfg) -> int:
 
 def _tile_tq(state, params, gcfg) -> int:
     """Pick the query-tile width: the largest of 64/32/16 whose worst-case cell-row
-    padding (one partial tile per occupied row, x2.5 headroom for row churn) still
+    padding (one partial tile per occupied row, x2 headroom for row churn) still
     fits the capacity. Larger tiles amortize per-tile kernel overhead; smaller ones
     waste less capacity on row padding (ops/tiles.py layout)."""
     from .models.grid_step import max_scale
@@ -217,7 +225,7 @@ def _tile_tq(state, params, gcfg) -> int:
         cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
         rows += len(np.unique(cy))
     for tq in (64, 32, 16):
-        if n + 2.5 * rows * tq <= state.capacity:
+        if n + 2.0 * rows * tq <= state.capacity:
             return tq
     return 16
 

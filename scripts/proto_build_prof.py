@@ -7,24 +7,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, x, reps=256):
-    """Scan fn reps times inside one program; subtract the 1-rep dispatch cost."""
+def timeit(fn, x, *consts, reps=256):
+    """Scan fn reps times inside one program; subtract the 1-rep dispatch cost.
+
+    Large device arrays must be passed via *consts (forwarded as jit arguments) —
+    closed-over arrays become HLO constants and blow up the remote-compile payload.
+    """
 
     def looped(n):
         def body(c, _):
-            return fn(c), None
+            return fn(c, *c_args), None
 
-        return jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=n)[0])
+        def outer(x0, *cs):
+            nonlocal c_args
+            c_args = cs
+            return jax.lax.scan(body, x0, None, length=n)[0]
+
+        c_args = ()
+        return jax.jit(outer)
 
     f_full, f_one = looped(reps), looped(1)
 
     def run(f):
-        y = f(x)
+        y = f(x, *consts)
         float(np.asarray(jnp.sum(jax.tree.leaves(y)[0].reshape(-1)[:1].astype(jnp.float32))))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            y = f(x)
+            y = f(x, *consts)
             float(np.asarray(jnp.sum(jax.tree.leaves(y)[0].reshape(-1)[:1].astype(jnp.float32))))
             ts.append(time.perf_counter() - t0)
         return min(ts)
