@@ -72,15 +72,23 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     bins = build_tiles(pos, h_eff * jnp.float32(tcfg.mscale), h_eff, alive, tcfg)
     diag["neighbor_overflow"] = (bins.overflow, jnp.int32(0), bins.level_overflow)
 
-    # sorted static table [x, y, h, mass] + extras
-    st = sort_fields(bins, [pos, h_eff, state.mass])
+    # ONE batched row-gather sorts every field (each separate gather costs ~0.17 ms
+    # on v5e): columns [x, y, h_eff, mass | h_raw, velx, vely, omega, level, has,
+    # size_class]
+    allsorted = sort_fields(
+        bins,
+        [pos, h_eff, state.mass, h, state.velocity, state.omega,
+         state.level, state.has_level.astype(jnp.float32),
+         state.size_class.astype(jnp.float32)],
+    )
+    st = allsorted[:, 0:4]
     wm = window_meta(tcfg, bins, st)
     alive_s = st[:, 2] > 0.0
     pos_s = st[:, 0:2]
     h_s = st[:, 2]
     mass_s = st[:, 3]
-    h_raw_s = sort_one(bins, h)
-    vel_s = sort_one(bins, state.velocity)
+    h_raw_s = allsorted[:, 4]
+    vel_s = allsorted[:, 5:7]
 
     pscale = float(physics_scale(params))
     ext_scale = float(params.level_estimation_range / kernels.ETA)
@@ -99,31 +107,25 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     lam_s = jnp.where(alive_s, lam, 0.0) if lam is not None else jnp.zeros_like(h_s)
 
     # 3. level estimation (pre-advection; simulation.rs:2018-2058)
-    level_s = sort_one(bins, state.level)
-    has_s = sort_one(bins, state.has_level.astype(jnp.float32)) > 0.5
-    flag_surface = state.flag_is_fluid_surface
-    flag_insufficient = state.flag_insufficient_neighs
+    level_s = allsorted[:, 7]
+    has_s = allsorted[:, 8] > 0.5
+    surf_s = insuf_s = None
     do_levels = params.level_estimation_active()
     if do_levels and not params.level_estimation_after_advection:
         assert params.level_estimation_method != LevelEstimationMethod.CenterDiff
         level_s, has_s, surf_s, insuf_s = _level_estimation(
             tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s, params
         )
-        flag_surface = unsort(bins, surf_s, None, False) & alive
-        flag_insufficient = unsort(bins, insuf_s, None, False) & alive
 
     # neighbor count at the physics radius (diagnostic; simulation.rs:2072-2074)
+    ncount_s = None
     if params.force_diagnostic_fields:
-        ncount = sweep(tp.COUNT_OP, None, pscale)[:, 0]
-        neighbor_count = unsort(bins, ncount, None, 0.0).astype(jnp.int32)
-    else:
-        neighbor_count = state.neighbor_count
+        ncount_s = sweep(tp.COUNT_OP, None, pscale)[:, 0]
 
-    # 6. h_next estimation (simulation.rs:2090-2143)
+    # 6. h_next estimation (simulation.rs:2090-2143); unsorted in the final batch
+    hn_s = None
     if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
         hn_s = _h_next_distribution(sweep, st, lam_s, params, pscale)
-        hn = unsort(bins, hn_s, None, 0.0)
-        h_next = jnp.where(alive & (bins.pp < tcfg.capacity), hn, state.h_next)
 
     # 9. CFL dt (simulation.rs:2182-2191) — flat arrays
     sr = h_eff * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
@@ -135,14 +137,13 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # 10. density (simulation.rs:2204)
     rho_s = sweep(tp.DENSITY_OP, None, pscale)[:, 0] + bdens_s
     rho_s = jnp.where(alive_s, rho_s, 1.0)
-    density = jnp.where(alive, unsort(bins, rho_s, None, 1.0), 1.0)
 
     # 11. constant field diagnostic (simulation.rs:2235-2248); viz-only, gated
+    cf_s = None
     if params.force_diagnostic_fields:
-        cf_s = sweep(tp.constant_field_op(), _stack(rho_s), pscale)[:, 0]
-        constant_field = unsort(bins, cf_s + bdens_s / params.rest_density, None, 0.0)
-    else:
-        constant_field = state.constant_field
+        cf_s = sweep(tp.constant_field_op(), _stack(rho_s), pscale)[:, 0] + (
+            bdens_s / params.rest_density
+        )
 
     # 12 + first non-pressure kick: fused prep sweep (a_ii sums + viscosity)
     method = params.pressure_solver_method
@@ -185,8 +186,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
         first_np_vel = None
     aii_s = jnp.where(alive_s, aii_s, 0.0)
-    aii = jnp.where(alive, unsort(bins, aii_s, None, 0.0), 0.0)
-    diag["negative_aii"] = jnp.sum(alive & (aii < 0.0) & (bins.pp < tcfg.capacity))
+    diag["negative_aii"] = jnp.sum(alive_s & (aii_s < 0.0))
 
     # 13. pressure solve + integrate (simulation.rs:2261-2671), sorted space.
     # The PPE operator's pair weights w_ij = m_j grad W_ij depend only on this
@@ -256,7 +256,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
         return -(params.rest_density - rho_s) / (next_rho * dt * dt)
 
-    omega_s = sort_one(bins, state.omega, 1.0)
+    omega_s = jnp.where(alive_s, allsorted[:, 6], 1.0)
     pos2_s = pos_s
     vel2_s = vel_s
 
@@ -271,7 +271,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             omega_neigh = 1.0 + H_i / (3.0 * rr) * sum_term
             self_term = mass_s * kernels.kernel_dw_dH(jnp.zeros_like(H_i), H_i, dim=2)
             omega_large = 1.0 + H_i / (3.0 * rr) * self_term
-            size_class_s = sort_one(bins, state.size_class.astype(jnp.float32))
+            size_class_s = allsorted[:, 9]
             omega_s = jnp.clip(
                 jnp.where(size_class_s == float(SIZE_LARGE), omega_large, omega_neigh),
                 0.125, 2.5,
@@ -336,7 +336,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     # 15. level-field smoothing (simulation.rs:2709-2722): advected positions over the
     # stale pre-advection pair set
-    level, has_level, level_old = state.level, state.has_level, state.level_old
+    sm_s = None
     if do_levels:
         max_depth = -params.maximum_surface_distance
         dist_s = jnp.where(has_s, jnp.maximum(level_s, max_depth), max_depth)
@@ -346,24 +346,63 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             pscale,
         )
         sm_s = sm[:, 0] / jnp.maximum(sm[:, 1], 1e-30)
-        level = unsort(bins, sm_s, None, max_depth)
+
+    # ONE batched row-gather restores every result to flat particle order
+    cols = [pos2_s, vel2_s, pressure_s[:, None], accel_sv, src_s[:, None],
+            derr_s[:, None], omega_s[:, None], rho_s[:, None], aii_s[:, None]]
+    names = {"pos2": (0, 2), "vel2": (2, 4), "p": (4, 5), "pa": (5, 7),
+             "src": (7, 8), "derr": (8, 9), "omega": (9, 10), "rho": (10, 11),
+             "aii": (11, 12)}
+    nxt = 12
+    for key, val in (("hn", hn_s), ("surf", surf_s), ("insuf", insuf_s),
+                     ("ncount", ncount_s), ("cf", cf_s), ("sm", sm_s)):
+        if val is not None:
+            cols.append(val.astype(jnp.float32)[:, None])
+            names[key] = (nxt, nxt + 1)
+            nxt += 1
+    flat = unsort(bins, jnp.concatenate(cols, axis=1), None, 0.0)
+
+    def take(key):
+        a, b = names[key]
+        return flat[:, a:b] if b - a > 1 else flat[:, a]
+
+    ok1 = bins.pp < tcfg.capacity
+    ok = ok1[:, None]
+    pos2 = jnp.where(ok & alive[:, None], take("pos2"), pos)
+    vel2 = jnp.where(ok & alive[:, None], take("vel2"), state.velocity)
+    density = jnp.where(alive & ok1, take("rho"), 1.0)
+    aii = jnp.where(alive & ok1, take("aii"), 0.0)
+
+    level, has_level, level_old = state.level, state.has_level, state.level_old
+    if do_levels:
+        level = jnp.where(alive & ok1, take("sm"), jnp.where(alive, -params.maximum_surface_distance, 0.0))
         level = jnp.where(alive, level, 0.0)
-        has_level = alive & (bins.pp < tcfg.capacity)
+        has_level = alive & ok1
         level_old = level
 
-    # gather integrated state back to flat order
-    ok = (bins.pp < tcfg.capacity)[:, None]
-    pos2 = jnp.where(ok & alive[:, None], unsort(bins, pos2_s, None, 0.0), pos)
-    vel2 = jnp.where(ok & alive[:, None], unsort(bins, vel2_s, None, 0.0), state.velocity)
+    flag_surface = state.flag_is_fluid_surface
+    flag_insufficient = state.flag_insufficient_neighs
+    if surf_s is not None:
+        flag_surface = (take("surf") > 0.5) & alive
+        flag_insufficient = (take("insuf") > 0.5) & alive
+
+    if hn_s is not None:
+        h_next = jnp.where(alive & ok1, take("hn"), state.h_next)
+    neighbor_count = state.neighbor_count
+    if ncount_s is not None:
+        neighbor_count = take("ncount").astype(jnp.int32)
+    constant_field = state.constant_field
+    if cf_s is not None:
+        constant_field = take("cf")
 
     new_state = state.replace(
         position=pos2,
         velocity=vel2,
-        pressure=unsort(bins, pressure_s, None, 0.0),
-        pressure_accel=unsort(bins, accel_sv, None, 0.0),
-        ppe_source_term=unsort(bins, src_s, None, 0.0),
-        density_error=unsort(bins, derr_s, None, 0.0),
-        omega=jnp.where(alive, unsort(bins, omega_s, None, 1.0), 1.0),
+        pressure=take("p"),
+        pressure_accel=take("pa"),
+        ppe_source_term=take("src"),
+        density_error=take("derr"),
+        omega=jnp.where(alive & ok1, take("omega"), 1.0),
         density=density,
         aii=aii,
         constant_field=constant_field,
