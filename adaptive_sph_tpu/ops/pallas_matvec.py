@@ -1,20 +1,28 @@
-"""Weight-cached PPE operator: build once per solve, stream per Jacobi iteration.
+"""Weight-cached PPE operator: build once per step, stream per Jacobi iteration.
 
 Within one pressure solve the geometry is frozen, so the pair weights
-w_ij = m_j * grad W_ij (the only pair-dependent quantity in both Jacobi sweeps,
-simulation.rs:1207-1322) are computed ONCE by a builder kernel that walks the same
-tile/row/chunk structure as ops/pallas_sweeps.py and writes one (TQ, 128) block
-[wx | wy] per non-empty chunk visit to HBM, plus (qt, ck) metadata. Each Jacobi
-iteration then runs two lean matvec kernels that stream the weight blocks back
-(double-buffered DMA) with no masks, no geometry, and no transcendentals:
+w_ij = m_j * grad W_ij (the only pair term in both Jacobi sweeps,
+simulation.rs:1207-1322) are computed ONCE by a builder kernel and streamed back by
+lean matvec kernels each iteration:
 
   accel_i = -(p_i/rho_i^2) * S1_i - sum_j w_ij u_j + boundary(p_i),  u_j = p_j/rho_j^2
   div_i   = scale_i * (sum_j w_ij . t_j - a_i . S_i) + boundary(a_i)
             t_j = a_j (Consistent*) or a_j/rho_j (Winchenbach2020)
 
-with S1/S2 the per-particle gradient sums already produced by the fused prep sweep
-(models/tile_physics.py). Exactness: identical pair set and weights as the direct
-sweeps; only f32 association order differs (differentially tested).
+with S1/S2 the per-particle gradient sums from the fused prep sweep
+(models/tile_physics.py).
+
+Block layout (v2): one block per (query tile x candidate row-window), ANCHORED at
+the window start instead of 64-aligned chunks — fewer, denser blocks — and stored
+TRANSPOSED as (64 candidate sublanes, 2*TQ query lanes) = [wx | wy]. The matvec
+kernels then run transpose-free: value windows are dynamic sublane slices of the
+flat (C, k) sorted table, reductions go over sublanes, outputs land in (NT, k, TQ).
+Blocks are tile-major; outputs accumulate in registers with unconditional
+progressive stores (branch-free bodies — conditional flushes serialized the
+unrolled DMA group and cost 2.2x).
+
+Exactness: identical pair set and weights as the direct sweeps; only f32
+association order differs (differentially tested in tests/test_tile_engine.py).
 """
 
 from __future__ import annotations
@@ -26,44 +34,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernels
+from .pallas_sweeps import _levels_meta
 from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta
-from .pallas_sweeps import PairCtx, _levels_meta
+
+NBUF = 4   # DMA pipeline depth (group-sized copies)
+GRP = 8    # weight blocks per DMA / per loop iteration (statically unrolled)
 
 
-def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, ck_ref,
+def _gmag(r2, h_ij):
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+    q = r / (2.0 * h_ij)
+    mag = (
+        kernels.kernel_norm_factor(h_ij, 2)
+        * kernels.cubic_kernel_unnormalized_deriv(q)
+        / (2.0 * h_ij)
+    )
+    return jnp.where(q > 1.0e-5, mag / r, 0.0)
+
+
+def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, an_ref,
                   cnt_ref, scratch, sem, *, cfg: TileConfig, scale: float, b_max: int):
     lmeta = _levels_meta(cfg)
     TQ = cfg.tq
     NL = len(cfg.populated)
+    C = cfg.capacity
 
     def tile_body(t, carry):
-        slot, attempted = carry
-        qs = sq_ref[t]  # (TQ, F)
-        qx = qs[:, 0:1]
-        qy = qs[:, 1:2]
-        qh = qs[:, 2:3]
+        qs = sq_ref[t]  # (F, TQ) channels-first queries
+        qx = qs[0:1, :]
+        qy = qs[1:2, :]
+        qh = qs[2:3, :]
         qvalid = qh > 0.0
 
-        def chunk_work(ck, lo, hi, carry):
+        def window_work(a, lo_k, hi_k, carry):
+            """One anchored 64-wide candidate window; exact range [lo_k, hi_k)."""
             slot, attempted = carry
-            cs = sc_ref[ck]  # (F, TILE)
-            cx = cs[0:1, :]
-            cy = cs[1:2, :]
-            ch = cs[2:3, :]
-            cm = cs[3:4, :]
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1) + ck * TILE
+            cand = sc_ref[pl.ds(a, TILE), :]  # (64, F) candidate sublanes
+            cx = cand[:, 0:1]
+            cy = cand[:, 1:2]
+            ch = cand[:, 2:3]
+            cm = cand[:, 3:4]
+            col = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) + a
             h_ij = jnp.maximum(0.5 * (qh + ch), 1e-6)
-            dx = qx - cx
+            dx = qx - cx  # (64, TQ)
             dy = qy - cy
             r2 = dx * dx + dy * dy
             rad = jnp.float32(scale) * h_ij
             valid = (
-                (col >= lo) & (col < hi) & (r2 < rad * rad) & (ch > 0.0) & qvalid
+                (col >= lo_k) & (col < hi_k) & (r2 < rad * rad) & (ch > 0.0) & qvalid
             )
-            ctx = PairCtx(dx, dy, r2, h_ij)
-            g = jnp.where(valid, cm * ctx.gmag, 0.0)
-            wx = g * dx
-            wy = g * dy
+            g = jnp.where(valid, cm * _gmag(r2, h_ij), 0.0)
             nonempty = jnp.any(valid)
             emit = nonempty & (slot < b_max)
 
@@ -74,17 +95,16 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, ck_ref,
                 @pl.when(slot >= 2)
                 def _():
                     pltpu.make_async_copy(
-                        scratch.at[jnp.mod(slot, 2)], w_hbm.at[jnp.maximum(slot - 2, 0)],
-                        sem.at[buf],
+                        scratch.at[buf], w_hbm.at[jnp.maximum(slot - 2, 0)], sem.at[buf]
                     ).wait()
 
-                scratch[buf, :, 0:TILE] = wx
-                scratch[buf, :, TILE:2 * TILE] = wy
+                scratch[buf, :, 0:TQ] = g * dx
+                scratch[buf, :, TQ:2 * TQ] = g * dy
                 pltpu.make_async_copy(
                     scratch.at[buf], w_hbm.at[slot], sem.at[buf]
                 ).start()
                 qt_ref[slot] = t
-                ck_ref[slot] = ck
+                an_ref[slot] = a
 
             return (slot + emit.astype(jnp.int32),
                     attempted + nonempty.astype(jnp.int32))
@@ -101,13 +121,20 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, ck_ref,
                 base = lm["coff"] + y * lm["nx"]
                 lo = starts_ref[base + xlo]
                 hi = starts_ref[base + xhi + 1]
-                ck0 = lo // TILE
-                nck = jnp.where(hi > lo, (hi - ck0 * TILE + TILE - 1) // TILE, 0)
+                nwin = jnp.where(hi > lo, (hi - lo + TILE - 1) // TILE, 0)
 
-                def ck_body(k, carry):
-                    return chunk_work(ck0 + k, lo, hi, carry)
+                # anchors are aligned down to the 8-sublane granularity Mosaic
+                # requires for dynamic sublane slices; [lo_k, hi_k) masks exactly
+                a0 = (lo // 8) * 8
+                nwin = jnp.where(hi > lo, (hi - a0 + TILE - 1) // TILE, 0)
 
-                return jax.lax.fori_loop(0, nck, ck_body, carry, unroll=False)
+                def win_body(k, carry):
+                    a = jnp.minimum(a0 + k * TILE, C - TILE)
+                    lo_k = jnp.maximum(a0 + k * TILE, lo)
+                    hi_k = jnp.minimum(hi, a0 + (k + 1) * TILE)
+                    return window_work(a, lo_k, hi_k, carry)
+
+                return jax.lax.fori_loop(0, nwin, win_body, carry, unroll=False)
 
             return jax.lax.fori_loop(0, nrows, row_body, carry, unroll=False)
 
@@ -120,17 +147,18 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, ck_ref,
         0, NT, tile_body, (jnp.int32(0), jnp.int32(0)), unroll=False
     )
 
-    # drain outstanding DMAs
     @pl.when(slot >= 1)
     def _():
         pltpu.make_async_copy(
-            scratch.at[jnp.mod(slot - 1, 2)], w_hbm.at[slot - 1], sem.at[jnp.mod(slot - 1, 2)]
+            scratch.at[jnp.mod(slot - 1, 2)], w_hbm.at[slot - 1],
+            sem.at[jnp.mod(slot - 1, 2)],
         ).wait()
 
     @pl.when(slot >= 2)
     def _():
         pltpu.make_async_copy(
-            scratch.at[jnp.mod(slot - 2, 2)], w_hbm.at[slot - 2], sem.at[jnp.mod(slot - 2, 2)]
+            scratch.at[jnp.mod(slot - 2, 2)], w_hbm.at[slot - 2],
+            sem.at[jnp.mod(slot - 2, 2)],
         ).wait()
 
     cnt_ref[0] = slot
@@ -139,11 +167,11 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, ck_ref,
 
 def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: float,
                        b_max: int, wmeta=None, interpret=None):
-    """Returns (weights (b_max, TQ, 128) f32 HBM, (qt, ck) meta, cnt (2,): [blocks, dropped])."""
+    """Returns (weights (b_max, 64, 2*TQ) f32 HBM, (qt, anchor) meta, cnt (2,))."""
     assert b_max % GRP == 0, "b_max must be a multiple of the matvec DMA group"
     TQ = cfg.tq
-    sq = to_chunks(statics_sorted, TQ)
-    sc = to_cand(statics_sorted)
+    sq = jnp.swapaxes(to_chunks(statics_sorted, TQ), 1, 2)  # (NT, F, TQ)
+    sc = statics_sorted  # (C, F) flat candidate table
     if wmeta is None:
         wmeta = window_meta(cfg, bins, statics_sorted)
     if interpret is None:
@@ -164,15 +192,15 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TQ, 2 * TILE), jnp.float32),
+            pltpu.VMEM((2, TILE, 2 * TQ), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    w, qt, ck, cnt = pl.pallas_call(
+    w, qt, an, cnt = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b_max, TQ, 2 * TILE), jnp.float32),
+            jax.ShapeDtypeStruct((b_max, TILE, 2 * TQ), jnp.float32),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
@@ -180,16 +208,12 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(bins.cell_starts, wmeta, sq, sc)
-    return w, (qt, ck), cnt
+    return w, (qt, an), cnt
 
 
-NBUF = 4   # DMA pipeline depth (group-sized copies)
-GRP = 8    # weight blocks per DMA / per loop iteration (statically unrolled)
-
-
-def _matvec_kernel(cnt_ref, qt_ref, ck_ref, w_hbm, t_ref, out_ref, scratch, sem,
+def _matvec_kernel(cnt_ref, qt_ref, an_ref, w_hbm, t_ref, out_ref, scratch, sem,
                    *, tq: int, k_in: int, k_out: int):
-    """Stream weight blocks in groups of GRP; out[qt] += dot over candidates.
+    """Stream weight blocks in groups of GRP; out[qt] = sublane dots over candidates.
 
     k_in=1, k_out=2: accel mode — out = (sum wx*u, sum wy*u)
     k_in=2, k_out=1: div mode   — out = sum (wx*tx + wy*ty)
@@ -199,7 +223,6 @@ def _matvec_kernel(cnt_ref, qt_ref, ck_ref, w_hbm, t_ref, out_ref, scratch, sem,
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def get_dma(buf, grp):
-        # whole (GRP, TQ, 128) group in one copy; trailing groups read padding
         return pltpu.make_async_copy(
             w_hbm.at[pl.ds(grp * GRP, GRP)], scratch.at[buf], sem.at[buf]
         )
@@ -209,11 +232,11 @@ def _matvec_kernel(cnt_ref, qt_ref, ck_ref, w_hbm, t_ref, out_ref, scratch, sem,
         def _(k=k):
             get_dma(k, k).start()
 
-    # register accumulation: blocks are tile-major (builder order). Every sub-block
-    # stores the running partial sum for its tile UNCONDITIONALLY — later stores of
-    # the same tile overwrite earlier partials, so the final store per tile carries
-    # the full sum. Branch-free bodies keep the unrolled group ILP-schedulable.
-    acc0 = jnp.zeros((tq, k_out), jnp.float32)
+    # register accumulation, tile-major blocks: every sub-block stores the running
+    # partial for its tile unconditionally; the final store per tile wins.
+    # The accumulator is padded to 8 sublanes (Mosaic dynamic-index stores of
+    # sub-8-sublane tiles miscompile).
+    acc0 = jnp.zeros((8, tq), jnp.float32)
 
     def body(grp, carry):
         acc, cur_qt = carry
@@ -229,25 +252,29 @@ def _matvec_kernel(cnt_ref, qt_ref, ck_ref, w_hbm, t_ref, out_ref, scratch, sem,
             e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
             valid = e < B
             qt_e = qt_ref[e_safe]
-            ck_e = ck_ref[e_safe]
+            an_e = an_ref[e_safe]
             switch = qt_e != cur_qt
 
             acc = jnp.where(switch, 0.0, acc)
             cur_qt = qt_e
 
-            w = scratch[buf, g]  # (TQ, 128) = [wx | wy]
-            tv = t_ref[ck_e]  # (k_in, TILE)
-            wx = w[:, 0:TILE]
-            wy = w[:, TILE:2 * TILE]
+            w = scratch[buf, g]  # (64, 2*TQ) = [wx | wy], candidates on sublanes
+            tv = t_ref[pl.ds(an_e, TILE), :]  # (64, k_in)
+            wx = w[:, 0:tq]
+            wy = w[:, tq:2 * tq]
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
             if k_out == 2:
-                u = tv[0:1, :]
-                ax = jnp.sum(wx * u, axis=1, keepdims=True)
-                ay = jnp.sum(wy * u, axis=1, keepdims=True)
-                contrib = jnp.concatenate([ax, ay], axis=1)  # (TQ, 2)
+                u = tv[:, 0:1]
+                ax = jnp.sum(wx * u, axis=0, keepdims=True)
+                ay = jnp.sum(wy * u, axis=0, keepdims=True)
+                # sublane placement via iota select — jnp.concatenate along
+                # sublanes inside the unrolled group crashes Mosaic
+                contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
             else:
-                contrib = jnp.sum(
-                    wx * tv[0:1, :] + wy * tv[1:2, :], axis=1, keepdims=True
+                c0 = jnp.sum(
+                    wx * tv[:, 0:1] + wy * tv[:, 1:2], axis=0, keepdims=True
                 )
+                contrib = jnp.where(row == 0, c0, 0.0)
             acc = acc + jnp.where(valid, contrib, 0.0)
             out_ref[cur_qt] = acc
 
@@ -259,12 +286,15 @@ def _matvec_kernel(cnt_ref, qt_ref, ck_ref, w_hbm, t_ref, out_ref, scratch, sem,
 
 
 def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=None):
-    """meta = (qt, ck) arrays from build_weight_cache."""
+    """meta = (qt, anchor) from build_weight_cache.
+
+    t_sorted: flat (C, k_in) values in SORTED order. Returns flat (C, k_out)
+    (one (NT,k,tq) -> (C,k) transpose at the end when k_out > 1).
+    """
     C = t_sorted.shape[0]
     if t_sorted.ndim == 1:
         t_sorted = t_sorted[:, None]
     k_in = t_sorted.shape[1]
-    tc = to_cand(t_sorted)  # (NC, k_in, TILE)
     NT = C // tq
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -275,18 +305,20 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # weights in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # t (flat)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, GRP, tq, 2 * TILE), jnp.float32),
+            pltpu.VMEM((NBUF, GRP, TILE, 2 * tq), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, tq, k_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NT, 8, tq), jnp.float32),
         interpret=bool(interpret),
-    )(cnt, meta[0], meta[1], weights, tc)
-    return out.reshape(C, k_out)
+    )(cnt, meta[0], meta[1], weights, t_sorted)
+    if k_out == 1:
+        return out[:, 0, :].reshape(C, 1)
+    return jnp.swapaxes(out[:, 0:k_out, :], 1, 2).reshape(C, k_out)
