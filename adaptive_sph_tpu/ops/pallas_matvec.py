@@ -42,6 +42,12 @@ NBUF = 4   # DMA pipeline depth (group-sized copies)
 GRP = 8    # weight blocks per DMA / per loop iteration (statically unrolled)
 
 
+def _lane_width(tq: int) -> int:
+    """Lane width of a weight block: [wx | wy] padded so Mosaic DMA slices stay
+    128-lane aligned (tq < 64 would otherwise make the lane dim 2*tq < 128)."""
+    return max(2 * tq, 128)
+
+
 def _gmag(r2, h_ij):
     r = jnp.sqrt(jnp.maximum(r2, 1e-30))
     q = r / (2.0 * h_ij)
@@ -98,8 +104,9 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, an_ref,
                         scratch.at[buf], w_hbm.at[jnp.maximum(slot - 2, 0)], sem.at[buf]
                     ).wait()
 
+                half = _lane_width(TQ) // 2
                 scratch[buf, :, 0:TQ] = g * dx
-                scratch[buf, :, TQ:2 * TQ] = g * dy
+                scratch[buf, :, half:half + TQ] = g * dy
                 pltpu.make_async_copy(
                     scratch.at[buf], w_hbm.at[slot], sem.at[buf]
                 ).start()
@@ -192,7 +199,7 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE, 2 * TQ), jnp.float32),
+            pltpu.VMEM((2, TILE, _lane_width(TQ)), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -200,7 +207,7 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b_max, TILE, 2 * TQ), jnp.float32),
+            jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), jnp.float32),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
@@ -212,7 +219,8 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
 
 
 def _matvec_kernel(cnt_ref, qt_ref, an_ref, w_hbm, t_ref, out_ref, scratch, sem,
-                   *, tq: int, k_in: int, k_out: int):
+                   *, tq: int, k_in: int, k_out: int,
+                   precision=jax.lax.Precision.HIGHEST):
     """Stream weight blocks in groups of GRP; out[qt] = sublane dots over candidates.
 
     k_in=1, k_out=2: accel mode — out = (sum wx*u, sum wy*u)
@@ -258,22 +266,23 @@ def _matvec_kernel(cnt_ref, qt_ref, an_ref, w_hbm, t_ref, out_ref, scratch, sem,
             acc = jnp.where(switch, 0.0, acc)
             cur_qt = qt_e
 
-            w = scratch[buf, g]  # (64, 2*TQ) = [wx | wy], candidates on sublanes
+            half = _lane_width(tq) // 2
+            w = scratch[buf, g]  # (64, LW) = [wx | pad | wy | pad], cands on sublanes
             tv = t_ref[pl.ds(an_e, TILE), :]  # (64, k_in)
-            wx = w[:, 0:tq]
-            wy = w[:, tq:2 * tq]
             row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
-            if k_out == 2:
-                u = tv[:, 0:1]
-                ax = jnp.sum(wx * u, axis=0, keepdims=True)
-                ay = jnp.sum(wy * u, axis=0, keepdims=True)
+            # one MXU pass contracts the candidate sublanes: (k_in, LW)
+            res = jax.lax.dot_general(
+                tv, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if k_out == 2:  # k_in == 1: res = [ax | ay]
+                ax = res[0:1, 0:tq]
+                ay = res[0:1, half:half + tq]
                 # sublane placement via iota select — jnp.concatenate along
                 # sublanes inside the unrolled group crashes Mosaic
                 contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
-            else:
-                c0 = jnp.sum(
-                    wx * tv[:, 0:1] + wy * tv[:, 1:2], axis=0, keepdims=True
-                )
+            else:  # k_in == 2: sum wx*tx + wy*ty
+                c0 = res[0:1, 0:tq] + res[1:2, half:half + tq]
                 contrib = jnp.where(row == 0, c0, 0.0)
             acc = acc + jnp.where(valid, contrib, 0.0)
             out_ref[cur_qt] = acc
@@ -309,7 +318,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, GRP, TILE, 2 * tq), jnp.float32),
+            pltpu.VMEM((NBUF, GRP, TILE, _lane_width(tq)), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )

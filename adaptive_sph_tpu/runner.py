@@ -38,6 +38,8 @@ class Simulation:
     ncfg: NeighborConfig
     counters: Counters
     check_invariants: bool = True
+    tile_cfg: object = None
+    grid_cfg: object = None
 
     @property
     def time(self) -> float:
@@ -349,4 +351,6 @@ def create_simulation(
         boundary_handler=boundary_handler,
         ncfg=ncfg,
         counters=Counters(enabled=counters_enabled),
+        tile_cfg=tile_cfg,
+        grid_cfg=grid_cfg,
     )

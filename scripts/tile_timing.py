@@ -1,0 +1,159 @@
+"""Per-piece timing of the tile-backend step on the current device.
+
+Per-dispatch overhead through the axon tunnel is ~30-40 ms, so each piece is
+repeated ITERS times INSIDE one jitted lax.scan dispatch, with a data dependency
+between iterations to stop XLA hoisting the loop-invariant body.
+Usage: python scripts/tile_timing.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ITERS = 50
+
+
+def scan_time(fn, *args, iters=ITERS, feedback=None):
+    """Time fn(*args) repeated `iters` times in ONE dispatch.
+
+    feedback: optional (out -> scalar f32) used to perturb args[0] each iteration
+    (x * (1 + 0*s)) so the body can't be hoisted. Default: sum of first leaf.
+    """
+
+    def dep_scalar(out):
+        leaf = jax.tree.leaves(out)[0]
+        return jnp.sum(leaf).astype(jnp.float32) * 0.0
+
+    fb = feedback or dep_scalar
+
+    @jax.jit
+    def run(*a):
+        def body(carry, _):
+            s = carry
+            a0p = jax.tree.map(
+                lambda x: x * (1.0 + s) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                a[0],
+            )
+            out = fn(a0p, *a[1:])
+            return fb(out), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return final
+
+    jax.block_until_ready(run(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(*args))
+    t1 = time.perf_counter()
+    return (t1 - t0) / iters
+
+
+def main():
+    sys.path.insert(0, ".")
+    from bench import build_sim
+    from adaptive_sph_tpu.models import boundary as bnd
+    from adaptive_sph_tpu.models import tile_physics as tp
+    from adaptive_sph_tpu.models.grid_step import physics_scale
+    from adaptive_sph_tpu.ops import kernels
+    from adaptive_sph_tpu.ops.pallas_matvec import build_weight_cache, weight_matvec
+    from adaptive_sph_tpu.ops.pallas_sweeps import run_sweep
+    from adaptive_sph_tpu.ops.tiles import build_tiles, sort_fields, unsort, window_meta
+
+    sim = build_sim()
+    st, params, tcfg = sim.state, sim.params, sim.tile_cfg
+    print(f"tcfg: C={tcfg.capacity} tq={tcfg.tq} levels={tcfg.populated} "
+          f"b_max={tcfg.b_max} n={int(st.n)}")
+
+    h = jnp.asarray(kernels.smoothing_length_from_mass(st.mass, params.rest_density, 2))
+    pscale = float(physics_scale(params))
+
+    t = scan_time(
+        lambda p: build_tiles(p, h * jnp.float32(tcfg.mscale), h, st.alive, tcfg),
+        st.position,
+        feedback=lambda b: jnp.sum(b.perm).astype(jnp.float32) * 0.0,
+    )
+    print(f"build_tiles (sort+csr):   {t*1000:7.3f} ms")
+
+    bins = jax.jit(lambda p: build_tiles(p, h * jnp.float32(tcfg.mscale), h, st.alive, tcfg))(st.position)
+    fields = [st.position, h, st.mass, h, st.velocity, st.omega,
+              st.level, st.has_level.astype(jnp.float32),
+              st.size_class.astype(jnp.float32)]
+    flat_fields = jnp.concatenate(
+        [f[:, None] if f.ndim == 1 else f for f in fields], axis=1
+    ).astype(jnp.float32)
+
+    t = scan_time(lambda ff: sort_fields(bins, [ff]), flat_fields)
+    print(f"sort_fields (row gather): {t*1000:7.3f} ms")
+
+    allsorted = jax.jit(lambda ff: sort_fields(bins, [ff]))(flat_fields)
+    stt = allsorted[:, 0:4]
+
+    t = scan_time(lambda s: window_meta(tcfg, bins, s), stt)
+    print(f"window_meta:              {t*1000:7.3f} ms")
+    wm = jax.jit(lambda s: window_meta(tcfg, bins, s))(stt)
+
+    def bterms(s):
+        pos_s = s[:, 0:2]
+        h_safe = jnp.maximum(s[:, 2], 1e-6)
+        bt = sim.boundary_handler.update_after_advect(pos_s, h_safe, params)
+        bst = bnd.solver_terms(bt, pos_s, h_safe, params)
+        return bst.G, bnd.density_boundary_term(bt, pos_s, h_safe, params)
+
+    t = scan_time(bterms, stt)
+    print(f"boundary terms:           {t*1000:7.3f} ms")
+
+    def mk(op, dyn_cols):
+        def f(s):
+            dyn = None
+            if dyn_cols:
+                dyn = jnp.stack([s[:, c] for c in dyn_cols], axis=1)
+            return run_sweep(tcfg, bins, s[:, 0:4], dyn, op, pscale, wmeta=wm)
+        return f
+
+    t = scan_time(mk(tp.DENSITY_OP, None), allsorted)
+    print(f"density sweep:            {t*1000:7.3f} ms")
+
+    t = scan_time(mk(tp.prep_op(params), [2, 5, 6]), allsorted)
+    print(f"prep sweep (aii+visc):    {t*1000:7.3f} ms")
+
+    t = scan_time(mk(tp.visc_op(params), [2, 5, 6]), allsorted)
+    print(f"visc sweep:               {t*1000:7.3f} ms")
+
+    t = scan_time(
+        lambda s: build_weight_cache(tcfg, bins, s, pscale, tcfg.b_max, wmeta=wm), stt
+    )
+    wc, wmb, wcnt = jax.jit(
+        lambda s: build_weight_cache(tcfg, bins, s, pscale, tcfg.b_max, wmeta=wm)
+    )(stt)
+    print(f"build_weight_cache:       {t*1000:7.3f} ms  (blocks={int(wcnt[0])}, "
+          f"dropped={int(wcnt[1])}, b_max={tcfg.b_max})")
+
+    p = jnp.ones((tcfg.capacity,), jnp.float32)
+    t = scan_time(
+        lambda v, w, m0, m1, c: weight_matvec(w, (m0, m1), c, v[:, None], tcfg.tq, k_out=2),
+        p, wc, wmb[0], wmb[1], wcnt,
+    )
+    print(f"matvec accel (k_out=2):   {t*1000:7.3f} ms")
+
+    q = jnp.ones((tcfg.capacity, 2), jnp.float32)
+    t = scan_time(
+        lambda v, w, m0, m1, c: weight_matvec(w, (m0, m1), c, v, tcfg.tq, k_out=1),
+        q, wc, wmb[0], wmb[1], wcnt,
+    )
+    print(f"matvec div (k_out=1):     {t*1000:7.3f} ms")
+
+    t = scan_time(lambda s: unsort(bins, s, None, 0.0), allsorted)
+    print(f"unsort (row gather):      {t*1000:7.3f} ms")
+
+    t = scan_time(
+        lambda s: sim.step_fn(s)[0],
+        st,
+        feedback=lambda o: jnp.sum(o.position).astype(jnp.float32) * 0.0,
+        iters=20,
+    )
+    print(f"FULL STEP (scanned):      {t*1000:7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
