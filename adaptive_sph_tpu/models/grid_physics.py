@@ -349,9 +349,12 @@ def omega_iisph2_slots(cfg, bins, sf, scale, size_class_slots, params):
 
 def jacobi_iterations_slots(
     cfg, bins, sf, scale, aii, src, G, bt_kind, alive_slots,
-    max_avg_error, residual_type, params, dt,
+    max_avg_error, residual_type, params, dt, p0=None,
 ) -> SolveResult:
-    """The relaxed-Jacobi loop (simulation.rs:1405-1480) entirely in slot space."""
+    """The relaxed-Jacobi loop (simulation.rs:1405-1480) entirely in slot space.
+
+    p0: optional warm-start pressure in slot space (params.warm_start_pressure);
+    the reference cold-starts at zero (simulation.rs:1143/1169/1190)."""
     total = sf["pos"].shape[0]
     zero_q = jnp.zeros(2, jnp.float32)
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
@@ -407,8 +410,12 @@ def jacobi_iterations_slots(
             density_error=perr if residual_type == DENSITY_ERROR else c["density_error"],
         )
 
+    if p0 is None:
+        p_init = jnp.zeros(total, jnp.float32)
+    else:
+        p_init = jnp.where(alive_slots & (~singular), jnp.maximum(p0, 0.0), 0.0)
     init = dict(
-        pressure=jnp.zeros(total, jnp.float32),
+        pressure=p_init,
         iters=jnp.int32(0), done=jnp.bool_(False),
         avg=jnp.float32(0.0), max=jnp.float32(0.0),
         normal=jnp.int32(0), singular=jnp.int32(0), negative=jnp.int32(0),

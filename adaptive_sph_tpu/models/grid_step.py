@@ -321,6 +321,8 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
     vel_slots = scatter_field(bins, gcfg, state.velocity)
     zero_q = jnp.zeros(2, jnp.float32)
     method = params.pressure_solver_method
+    warm = bool(params.warm_start_pressure)
+    pdiv_slots = None
     first_np_at_start = (
         method != PressureSolverMethod.HybridDFSPH
         or params.hybrid_dfsph_non_pressure_accel_before_divergence_free
@@ -389,9 +391,14 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
             )
         else:
             src = src_full(vel_slots)
+        if warm:
+            p_prev = scatter_field(bins, gcfg, state.pressure)
+            p0 = p_prev * jnp.sqrt(omega_slots) if method == PressureSolverMethod.IISPH2 else p_prev
+        else:
+            p0 = None
         res = gp.jacobi_iterations_slots(
             gcfg, bins, sf, pscale, aii_slots, src, G_slots, bt.kind, alive_slots,
-            params.iisph_max_avg_density_error, DENSITY_ERROR, params, dt,
+            params.iisph_max_avg_density_error, DENSITY_ERROR, params, dt, p0=p0,
         )
         pressure_slots = res.pressure
         accel_slots = res.pressure_accel
@@ -414,6 +421,7 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         res = gp.jacobi_iterations_slots(
             gcfg, bins, sf, pscale, aii_slots, src, G_slots, bt.kind, alive_slots,
             params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR, params, dt,
+            p0=scatter_field(bins, gcfg, state.pressure) if warm else None,
         )
         vel_slots = vel_slots + dt * res.pressure_accel
         pos_slots = pos_slots + dt * vel_slots
@@ -430,6 +438,7 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         res_div = gp.jacobi_iterations_slots(
             gcfg, bins, sf, pscale, aii_slots, src, G_slots, bt.kind, alive_slots,
             params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR, params, dt,
+            p0=scatter_field(bins, gcfg, state.pressure_div) if warm else None,
         )
         vel_slots = vel_slots + dt * res_div.pressure_accel
         diag["div_iterations"] = res_div.iterations
@@ -443,6 +452,7 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         res_den = gp.jacobi_iterations_slots(
             gcfg, bins, sf, pscale, aii_slots, src2, G_slots, bt.kind, alive_slots,
             params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR, params, dt,
+            p0=scatter_field(bins, gcfg, state.pressure) if warm else None,
         )
         diag["density_iterations"] = res_den.iterations
         diag["density_avg_error"] = res_den.avg_error
@@ -455,6 +465,7 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         )
         pressure_slots = res_den.pressure
         src_slots, derr_slots = src2, res_den.density_error
+        pdiv_slots = res_div.pressure if warm else None
 
     # 15. level-field smoothing (simulation.rs:2709-2722): advected positions over the
     # stale pre-advection binning (the reference reads particles.position after
@@ -479,10 +490,14 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
     pos2 = jnp.where(ok, pos2, pos)
     vel2 = jnp.where(ok, vel2, state.velocity)
 
+    pressure_div = state.pressure_div
+    if pdiv_slots is not None:
+        pressure_div = jnp.where(alive, gather_result(bins, gcfg, pdiv_slots, 0.0), 0.0)
     new_state = state.replace(
         position=pos2,
         velocity=vel2,
         pressure=gather_result(bins, gcfg, pressure_slots, 0.0),
+        pressure_div=pressure_div,
         pressure_accel=gather_result(bins, gcfg, accel_slots, 0.0),
         ppe_source_term=gather_result(bins, gcfg, src_slots, 0.0),
         density_error=gather_result(bins, gcfg, derr_slots, 0.0),

@@ -60,8 +60,12 @@ def iisph_pressure_iterations(
     clamp_negative_pressures: bool,
     params: SimulationParams,
     dt,
+    p0=None,
 ) -> SolveResult:
     """Jacobi sweeps until `avg_err < tol` with the >=2-iterations rule (simulation.rs:1405-1480).
+
+    p0: optional warm-start pressure (params.warm_start_pressure extension); the
+    reference cold-starts at zero (simulation.rs:1143/1169/1190).
 
     Runs over the per-step EdgeCache + factored boundary terms: each sweep is one
     (C, K) gather of pressure, one of the acceleration field, fused arithmetic, and
@@ -132,8 +136,12 @@ def iisph_pressure_iterations(
             density_error=perr,
         )
 
+    if p0 is None:
+        p_init = jnp.zeros(C, jnp.float32)
+    else:
+        p_init = jnp.where(alive & (~singular), jnp.maximum(p0, 0.0), 0.0)
     init = dict(
-        pressure=jnp.zeros(C, jnp.float32),
+        pressure=p_init,
         iters=jnp.int32(0),
         done=jnp.bool_(False),
         avg=jnp.float32(0.0),
@@ -194,6 +202,7 @@ def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
     """
     pos, vel = state.position, state.velocity
     mass, rho, alive = state.mass, state.density, state.alive
+    warm = bool(params.warm_start_pressure)
     diag = {}
 
     def nonpressure(vel_in):
@@ -214,9 +223,13 @@ def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
             )
         else:
             src = physics.source_term_full(nb, cache, bst, vel, mass, rho, params, dt)
+        if warm:
+            p0 = state.pressure * jnp.sqrt(omega) if method == PressureSolverMethod.IISPH2 else state.pressure
+        else:
+            p0 = None
         res = iisph_pressure_iterations(
             nb, cache, bst, mass, rho, state.aii, src, alive,
-            params.iisph_max_avg_density_error, DENSITY_ERROR, True, params, dt,
+            params.iisph_max_avg_density_error, DENSITY_ERROR, True, params, dt, p0=p0,
         )
         pressure = res.pressure
         accel = res.pressure_accel
@@ -241,6 +254,7 @@ def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
         res = iisph_pressure_iterations(
             nb, cache, bst, mass, rho, state.aii, src, alive,
             params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR, True, params, dt,
+            p0=state.pressure if warm else None,
         )
         vel = vel + dt * res.pressure_accel
         pos = pos + dt * vel
@@ -263,6 +277,7 @@ def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
     res_div = iisph_pressure_iterations(
         nb, cache, bst, mass, rho, state.aii, src, alive,
         params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR, True, params, dt,
+        p0=state.pressure_div if warm else None,
     )
     vel = vel + dt * res_div.pressure_accel
     diag["div_iterations"] = res_div.iterations
@@ -279,6 +294,7 @@ def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
     res_den = iisph_pressure_iterations(
         nb, cache, bst, mass, rho, state.aii, src2, alive,
         params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR, True, params, dt,
+        p0=state.pressure if warm else None,
     )
     diag["density_iterations"] = res_den.iterations
     diag["density_avg_error"] = res_den.avg_error
@@ -293,5 +309,7 @@ def solve_and_integrate(nb, cache, bst, state, h, dt, params: SimulationParams):
         position=pos, velocity=vel, pressure=res_den.pressure, pressure_accel=accel,
         ppe_source_term=src2, density_error=res_den.density_error, omega=state.omega,
     )
+    if warm:
+        new["pressure_div"] = res_div.pressure
     diag["solver_stats"] = (res_den.normal_count, res_den.singular_count, res_den.negative_count)
     return new, diag

@@ -28,6 +28,7 @@ class FluidState:
     density: jnp.ndarray  # (C,)
     ppe_source_term: jnp.ndarray  # (C,)
     pressure: jnp.ndarray  # (C,)
+    pressure_div: jnp.ndarray  # (C,) last divergence-solve pressure (warm starts)
     aii: jnp.ndarray  # (C,)
     density_error: jnp.ndarray  # (C,)
     omega: jnp.ndarray  # (C,)  IISPH2 Omega correction
@@ -123,6 +124,7 @@ def init_state(
         density=zeros_c,
         ppe_source_term=zeros_c,
         pressure=zeros_c,
+        pressure_div=zeros_c,
         aii=zeros_c,
         density_error=zeros_c,
         omega=jnp.ones((capacity,), jnp.float32),

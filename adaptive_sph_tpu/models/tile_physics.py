@@ -247,8 +247,11 @@ def h_vw_sum_op(params: SimulationParams):
 
 
 def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
-                params: SimulationParams, dt, rho) -> SolveResult:
-    """accel_fn(p) -> (C,2); div_fn(accel) -> (C,); both include boundary terms."""
+                params: SimulationParams, dt, rho, p0=None) -> SolveResult:
+    """accel_fn(p) -> (C,2); div_fn(accel) -> (C,); both include boundary terms.
+
+    p0: optional warm-start pressure (params.warm_start_pressure); the reference
+    cold-starts at zero (simulation.rs:1143/1169/1190)."""
     total = aii.shape[0]
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
     aii_safe = jnp.where(singular, 1.0, aii)
@@ -302,8 +305,12 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
             density_error=perr if residual_type == DENSITY_ERROR else c["density_error"],
         )
 
+    if p0 is None:
+        p_init = jnp.zeros(total, jnp.float32)
+    else:
+        p_init = jnp.where(alive & (~singular), jnp.maximum(p0, 0.0), 0.0)
     init = dict(
-        pressure=jnp.zeros(total, jnp.float32),
+        pressure=p_init,
         iters=jnp.int32(0), done=jnp.bool_(False),
         avg=jnp.float32(0.0), max=jnp.float32(0.0),
         normal=jnp.int32(0), singular=jnp.int32(0), negative=jnp.int32(0),

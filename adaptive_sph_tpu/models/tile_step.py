@@ -75,12 +75,13 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # ONE batched row-gather sorts every field (each separate gather costs ~0.17 ms
     # on v5e): columns [x, y, h_eff, mass | h_raw, velx, vely, omega, level, has,
     # size_class]
-    allsorted = sort_fields(
-        bins,
-        [pos, h_eff, state.mass, h, state.velocity, state.omega,
-         state.level, state.has_level.astype(jnp.float32),
-         state.size_class.astype(jnp.float32)],
-    )
+    warm = bool(params.warm_start_pressure)
+    sort_cols = [pos, h_eff, state.mass, h, state.velocity, state.omega,
+                 state.level, state.has_level.astype(jnp.float32),
+                 state.size_class.astype(jnp.float32)]
+    if warm:
+        sort_cols += [state.pressure, state.pressure_div]
+    allsorted = sort_fields(bins, sort_cols)
     st = allsorted[:, 0:4]
     wm = window_meta(tcfg, bins, st)
     alive_s = st[:, 2] > 0.0
@@ -107,8 +108,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     lam_s = jnp.where(alive_s, lam, 0.0) if lam is not None else jnp.zeros_like(h_s)
 
     # 3. level estimation (pre-advection; simulation.rs:2018-2058)
-    level_s = allsorted[:, 7]
-    has_s = allsorted[:, 8] > 0.5
+    level_s = allsorted[:, 8]
+    has_s = allsorted[:, 9] > 0.5
     surf_s = insuf_s = None
     do_levels = params.level_estimation_active()
     if do_levels and not params.level_estimation_after_advection:
@@ -236,9 +237,13 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                 s = s / jnp.maximum(rho_s, 1e-30)
             return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
 
-    def jacobi(src, tol, rtype):
+    p_prev_s = allsorted[:, 11] if warm else None
+    pdiv_prev_s = allsorted[:, 12] if warm else None
+
+    def jacobi(src, tol, rtype, p0=None):
         return tp.tile_jacobi(
-            accel_fn, div_fn, aii_s, src, alive_s, tol, rtype, params, dt, rho_s
+            accel_fn, div_fn, aii_s, src, alive_s, tol, rtype, params, dt, rho_s,
+            p0=p0,
         )
 
     def nonpressure(v):
@@ -256,9 +261,10 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
         return -(params.rest_density - rho_s) / (next_rho * dt * dt)
 
-    omega_s = jnp.where(alive_s, allsorted[:, 6], 1.0)
+    omega_s = jnp.where(alive_s, allsorted[:, 7], 1.0)
     pos2_s = pos_s
     vel2_s = vel_s
+    pdiv_s = None
 
     if method in (PressureSolverMethod.IISPH, PressureSolverMethod.IISPH2):
         if method == PressureSolverMethod.IISPH2:
@@ -271,7 +277,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             omega_neigh = 1.0 + H_i / (3.0 * rr) * sum_term
             self_term = mass_s * kernels.kernel_dw_dH(jnp.zeros_like(H_i), H_i, dim=2)
             omega_large = 1.0 + H_i / (3.0 * rr) * self_term
-            size_class_s = allsorted[:, 9]
+            size_class_s = allsorted[:, 10]
             omega_s = jnp.clip(
                 jnp.where(size_class_s == float(SIZE_LARGE), omega_large, omega_neigh),
                 0.125, 2.5,
@@ -283,7 +289,11 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             )
         else:
             src = src_full(vel2_s)
-        res = jacobi(src, params.iisph_max_avg_density_error, DENSITY_ERROR)
+        if warm:
+            p0 = p_prev_s * jnp.sqrt(omega_s) if method == PressureSolverMethod.IISPH2 else p_prev_s
+        else:
+            p0 = None
+        res = jacobi(src, params.iisph_max_avg_density_error, DENSITY_ERROR, p0=p0)
         pressure_s = res.pressure
         accel_sv = res.pressure_accel
         if method == PressureSolverMethod.IISPH2:
@@ -300,7 +310,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     elif method == PressureSolverMethod.OnlyDivergence:
         vel2_s = nonpressure(vel_s)
         src = -div_fn(vel2_s) / dt
-        res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR)
+        res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
+                     p0=p_prev_s if warm else None)
         vel2_s = vel2_s + dt * res.pressure_accel
         pos2_s = pos2_s + dt * vel2_s
         pressure_s, accel_sv = res.pressure, res.pressure_accel
@@ -313,7 +324,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         if params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
             vel2_s = nonpressure(vel_s)
         src = -div_fn(vel2_s) / dt
-        res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR)
+        res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
+                         p0=pdiv_prev_s if warm else None)
         vel2_s = vel2_s + dt * res_div.pressure_accel
         diag["div_iterations"] = res_div.iterations
         diag["div_avg_error"] = res_div.avg_error
@@ -323,7 +335,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             src2 = src_full(vel2_s)
         else:
             src2 = src_only_density()
-        res_den = jacobi(src2, params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR)
+        res_den = jacobi(src2, params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR,
+                         p0=p_prev_s if warm else None)
         diag["density_iterations"] = res_den.iterations
         diag["density_avg_error"] = res_den.avg_error
         diag["density_max_error"] = res_den.max_error
@@ -333,6 +346,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         vel2_s = vel2_s + dt * accel_sv * jnp.minimum(dt * params.hybrid_dfsph_factor, 1.0)
         pressure_s = res_den.pressure
         src_s, derr_s = src2, res_den.density_error
+        pdiv_s = res_div.pressure if warm else None
 
     # 15. level-field smoothing (simulation.rs:2709-2722): advected positions over the
     # stale pre-advection pair set
@@ -355,7 +369,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
              "aii": (11, 12)}
     nxt = 12
     for key, val in (("hn", hn_s), ("surf", surf_s), ("insuf", insuf_s),
-                     ("ncount", ncount_s), ("cf", cf_s), ("sm", sm_s)):
+                     ("ncount", ncount_s), ("cf", cf_s), ("sm", sm_s),
+                     ("pdiv", pdiv_s)):
         if val is not None:
             cols.append(val.astype(jnp.float32)[:, None])
             names[key] = (nxt, nxt + 1)
@@ -395,10 +410,14 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if cf_s is not None:
         constant_field = take("cf")
 
+    pressure_div = state.pressure_div
+    if pdiv_s is not None:
+        pressure_div = jnp.where(alive & ok1, take("pdiv"), 0.0)
     new_state = state.replace(
         position=pos2,
         velocity=vel2,
         pressure=take("p"),
+        pressure_div=pressure_div,
         pressure_accel=take("pa"),
         ppe_source_term=take("src"),
         density_error=take("derr"),

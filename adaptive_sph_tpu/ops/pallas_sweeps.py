@@ -148,8 +148,13 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
         else:
             mqx, mqy = qx, qy
 
+        # accumulators stay (TQ, TILE): the cross-lane reduction happens ONCE per
+        # tile after all chunks (a per-chunk reduce costs a ~6-shuffle tree per
+        # output — the dominant per-window cost at n_out up to 8). Different
+        # chunks share lane positions; summing them first is associative, and for
+        # max-reduce the lane-wise max commutes the same way.
         acc0 = tuple(
-            jnp.full((TQ, 1), init_val, jnp.float32) for _ in range(op.n_out)
+            jnp.full((TQ, TILE), init_val, jnp.float32) for _ in range(op.n_out)
         )
 
         def chunk_work(ck, lo, hi, acc):
@@ -191,15 +196,9 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
             new_acc = []
             for oi, e in enumerate(outs):
                 if is_sum:
-                    contrib = jnp.sum(
-                        jnp.where(valid, e, 0.0), axis=1, keepdims=True
-                    )
-                    new_acc.append(acc[oi] + contrib)
+                    new_acc.append(acc[oi] + jnp.where(valid, e, 0.0))
                 else:
-                    contrib = jnp.max(
-                        jnp.where(valid, e, op.fill), axis=1, keepdims=True
-                    )
-                    new_acc.append(jnp.maximum(acc[oi], contrib))
+                    new_acc.append(jnp.maximum(acc[oi], jnp.where(valid, e, op.fill)))
             return tuple(new_acc)
 
         def level_block(lm, li, acc):
@@ -227,10 +226,14 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
         acc = acc0
         for li, lm in enumerate(lmeta):
             acc = level_block(lm, li, acc)
+        if is_sum:
+            red = tuple(jnp.sum(a, axis=1, keepdims=True) for a in acc)
+        else:
+            red = tuple(jnp.max(a, axis=1, keepdims=True) for a in acc)
         pad = tuple(
             jnp.zeros((TQ, 1), jnp.float32) for _ in range(OUT_PAD - op.n_out)
         )
-        out_ref[t] = jnp.concatenate(acc + pad, axis=1)
+        out_ref[t] = jnp.concatenate(red + pad, axis=1)
         return 0
 
     NT = cfg.capacity // TQ

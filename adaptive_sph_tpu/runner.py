@@ -56,6 +56,10 @@ class Simulation:
         new_state = jax.block_until_ready(new_state)
         elapsed = time.perf_counter() - t0
 
+        # ONE device->host transfer for all diagnostics (each separate np.asarray
+        # is a full roundtrip — ~5 ms each through the axon tunnel)
+        diag = jax.device_get(diag)
+
         if self.check_invariants:
             neg_aii = int(diag["negative_aii"])
             if neg_aii > 0:
@@ -115,6 +119,9 @@ class Simulation:
         new_state, diags = self._chunked[key](self.state)
         new_state = jax.block_until_ready(new_state)
         elapsed = time.perf_counter() - t0
+
+        # ONE device->host transfer for the stacked diagnostics (see step())
+        diags = jax.device_get(diags)
 
         if self.check_invariants:
             if int(np.max(np.asarray(diags["negative_aii"]))) > 0:

@@ -179,6 +179,12 @@ class SimulationParams:
     # likewise, the <1> constant-field and per-particle neighbor counts are pure
     # diagnostics (viz attributes); skipped unless requested
     force_diagnostic_fields: bool = False
+    # warm-start each pressure solve from the previous step's converged pressure
+    # instead of zero (the reference always cold-starts, simulation.rs:1143/1169/1190).
+    # Same operator and tolerance contract — the solve still runs to the configured
+    # avg-error tolerance with the >=2-iteration rule — but typically several times
+    # fewer Jacobi iterations. Off by default for bitwise reference parity.
+    warm_start_pressure: bool = False
 
     def level_estimation_active(self) -> bool:
         if self.level_estimation_method == LevelEstimationMethod.NoneMethod:

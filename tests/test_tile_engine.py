@@ -217,3 +217,45 @@ def test_backend_differential_levels_adaptive():
         merging=False, sharing=False, splitting=False, max_iters=60,
     )
     _diff_backends(params, _dam_scene(spacing2=0.08), steps=3)
+
+
+def test_backend_differential_warm_start():
+    # warm-start extension: tiles and grid must agree with each other when it is
+    # on, and each solve must still satisfy the configured tolerance
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+        warm_start_pressure=True,
+    )
+    _diff_backends(params, _dam_scene(), steps=5, capacity=1024)
+
+
+def test_warm_start_converges_with_fewer_iterations():
+    # same scene, warm vs cold: tolerance respected both ways and the warm run
+    # needs no more total iterations than the cold one after a few steps
+    import jax
+    base = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=120,
+    )
+    totals = {}
+    for warm in (False, True):
+        sim = create_simulation(
+            base.replace(warm_start_pressure=warm), _dam_scene(), capacity=1024,
+            backend="tiles",
+        )
+        tol = sim.params.hybrid_dfsph_max_avg_density_error * sim.params.rest_density
+        iters = 0
+        for _ in range(8):
+            d = sim.step()
+            iters += int(d["div_iterations"]) + int(d["density_iterations"])
+            err = float(d["density_avg_error"])
+            # NaN = zero normal (unclamped, non-singular) particles -> trivially
+            # converged (reference averages over normal particles only)
+            assert not err == err or abs(err) < tol
+        totals[warm] = iters
+    assert totals[True] <= totals[False]
