@@ -247,11 +247,15 @@ def h_vw_sum_op(params: SimulationParams):
 
 
 def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
-                params: SimulationParams, dt, rho, p0=None) -> SolveResult:
+                params: SimulationParams, dt, rho, p0=None,
+                psum=lambda x: x, pmax=lambda x: x) -> SolveResult:
     """accel_fn(p) -> (C,2); div_fn(accel) -> (C,); both include boundary terms.
 
     p0: optional warm-start pressure (params.warm_start_pressure); the reference
-    cold-starts at zero (simulation.rs:1143/1169/1190)."""
+    cold-starts at zero (simulation.rs:1143/1169/1190).
+    psum/pmax: slab-sharding collectives so every device sees the same
+    convergence statistics (the while_loop trip count must agree everywhere);
+    `alive` is then the OWNED mask so no particle is double-counted."""
     total = aii.shape[0]
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
     aii_safe = jnp.where(singular, 1.0, aii)
@@ -269,16 +273,16 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         clamped = p_next <= 0.0
         p_next = jnp.where(clamped, 0.0, p_next)
         is_normal = alive & (~singular) & (~clamped)
-        n_normal = jnp.sum(is_normal)
-        avg = jnp.sum(jnp.where(is_normal, predicted, 0.0)) / jnp.maximum(
+        n_normal = psum(jnp.sum(is_normal))
+        avg = psum(jnp.sum(jnp.where(is_normal, predicted, 0.0))) / jnp.maximum(
             n_normal, 1
         ).astype(jnp.float32)
         avg = jnp.where(n_normal > 0, avg, jnp.nan)
-        mx = jnp.max(jnp.where(is_normal, jnp.abs(predicted), 0.0))
+        mx = pmax(jnp.max(jnp.where(is_normal, jnp.abs(predicted), 0.0)))
         return p_next, predicted, dict(
             normal=n_normal,
-            singular=jnp.sum(alive & singular),
-            negative=jnp.sum(alive & (~singular) & clamped),
+            singular=psum(jnp.sum(alive & singular)),
+            negative=psum(jnp.sum(alive & (~singular) & clamped)),
             avg=avg,
             max=mx,
         )

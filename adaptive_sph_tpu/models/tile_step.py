@@ -47,10 +47,19 @@ def _stack(*cols):
 
 
 def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileConfig,
-                      boundary_handler):
-    """One full step on the sorted-tile backend. Returns (new_state, dt, diag)."""
+                      boundary_handler, halo=None):
+    """One full step on the sorted-tile backend. Returns (new_state, dt, diag).
+
+    halo: optional HaloHooks (parallel/tile_sharding.py) for slab-sharded
+    multi-chip execution: per-device slab origin, ghost-row refresh inside the
+    solver, ownership mask for reductions/outputs, and psum/pmin collectives.
+    """
     diag = {}
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
+    if halo is not None:
+        assert not (params.merging or params.sharing or params.splitting), (
+            "slab-sharded tile backend does not resample (cross-device partner "
+            "matching); run adaptivity on the replicated backends")
 
     # 1. smoothing-length update (simulation.rs:1999-2016)
     if adaptive:
@@ -69,8 +78,14 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     pos = state.position
 
     # 2. sort into the tile layout at the largest search radius
-    bins = build_tiles(pos, h_eff * jnp.float32(tcfg.mscale), h_eff, alive, tcfg)
-    diag["neighbor_overflow"] = (bins.overflow, jnp.int32(0), bins.level_overflow)
+    origin = halo.origin if halo is not None else None
+    psum = halo.psum if halo is not None else (lambda x: x)
+    pmin = halo.pmin if halo is not None else (lambda x: x)
+    pmax = halo.pmax if halo is not None else (lambda x: x)
+    bins = build_tiles(pos, h_eff * jnp.float32(tcfg.mscale), h_eff, alive, tcfg,
+                       origin=origin)
+    diag["neighbor_overflow"] = (psum(bins.overflow), jnp.int32(0),
+                                 psum(bins.level_overflow))
 
     # ONE batched row-gather sorts every field (each separate gather costs ~0.17 ms
     # on v5e): columns [x, y, h_eff, mass | h_raw, velx, vely, omega, level, has,
@@ -81,10 +96,18 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                  state.size_class.astype(jnp.float32)]
     if warm:
         sort_cols += [state.pressure, state.pressure_div]
+    if halo is not None:
+        sort_cols.append(halo.owned.astype(jnp.float32))
     allsorted = sort_fields(bins, sort_cols)
     st = allsorted[:, 0:4]
-    wm = window_meta(tcfg, bins, st)
+    wm = window_meta(tcfg, bins, st, origin=origin)
     alive_s = st[:, 2] > 0.0
+    if halo is not None:
+        owned_s = allsorted[:, -1] > 0.5
+        refresh = halo.make_refresher(bins)
+    else:
+        owned_s = alive_s
+        refresh = lambda v: v
     pos_s = st[:, 0:2]
     h_s = st[:, 2]
     mass_s = st[:, 3]
@@ -115,7 +138,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if do_levels and not params.level_estimation_after_advection:
         assert params.level_estimation_method != LevelEstimationMethod.CenterDiff
         level_s, has_s, surf_s, insuf_s = _level_estimation(
-            tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s, params
+            tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s, params,
+            refresh=refresh, psum=psum,
         )
 
     # neighbor count at the physics radius (diagnostic; simulation.rs:2072-2074)
@@ -128,16 +152,18 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
         hn_s = _h_next_distribution(sweep, st, lam_s, params, pscale)
 
-    # 9. CFL dt (simulation.rs:2182-2191) — flat arrays
+    # 9. CFL dt (simulation.rs:2182-2191) — flat arrays; global min across slabs
     sr = h_eff * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
     v2 = jnp.sum(state.velocity * state.velocity, -1)
-    val = jnp.where(alive, sr * sr / (v2 + 0.01), jnp.inf)
-    dt = jnp.minimum(jnp.float32(params.max_dt), params.cfl_factor * jnp.sqrt(jnp.min(val)))
+    owned_flat = alive if halo is None else (alive & halo.owned)
+    val = jnp.where(owned_flat, sr * sr / (v2 + 0.01), jnp.inf)
+    dt = jnp.minimum(jnp.float32(params.max_dt),
+                     params.cfl_factor * jnp.sqrt(pmin(jnp.min(val))))
     diag["dt"] = dt
 
-    # 10. density (simulation.rs:2204)
+    # 10. density (simulation.rs:2204); ghost rows refreshed from their owners
     rho_s = sweep(tp.DENSITY_OP, None, pscale)[:, 0] + bdens_s
-    rho_s = jnp.where(alive_s, rho_s, 1.0)
+    rho_s = refresh(jnp.where(alive_s, rho_s, 1.0)[:, None])[:, 0]
 
     # 11. constant field diagnostic (simulation.rs:2235-2248); viz-only, gated
     cf_s = None
@@ -187,7 +213,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
         first_np_vel = None
     aii_s = jnp.where(alive_s, aii_s, 0.0)
-    diag["negative_aii"] = jnp.sum(alive_s & (aii_s < 0.0))
+    diag["negative_aii"] = psum(jnp.sum(owned_s & (aii_s < 0.0)))
 
     # 13. pressure solve + integrate (simulation.rs:2261-2671), sorted space.
     # The PPE operator's pair weights w_ij = m_j grad W_ij depend only on this
@@ -211,12 +237,14 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         S2 = sums["mj_by_rhoj_wij"]
 
         def accel_fn(p):
+            p = refresh(p[:, None])[:, 0]
             u = p * rho_inv * rho_inv
             mv = weight_matvec(wcache, wmeta_blocks, wcnt, u[:, None], tcfg.tq, k_out=2)
             a = -(u[:, None] * S1) - mv
             return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
 
         def div_fn(q):
+            q = refresh(q)
             if w2020:
                 t = q * rho_inv[:, None]
                 s = weight_matvec(wcache, wmeta_blocks, wcnt, t, tcfg.tq, k_out=1)[:, 0]
@@ -228,10 +256,12 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     else:
         def accel_fn(p):
+            p = refresh(p[:, None])[:, 0]
             a = sweep(tp.accel_op(), _stack(rho_s, p), pscale)[:, 0:2]
             return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
 
         def div_fn(q):
+            q = refresh(q)
             s = sweep(tp.div_op(w2020), _stack(rho_s, q[:, 0], q[:, 1]), pscale)[:, 0]
             if not w2020:
                 s = s / jnp.maximum(rho_s, 1e-30)
@@ -242,8 +272,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     def jacobi(src, tol, rtype, p0=None):
         return tp.tile_jacobi(
-            accel_fn, div_fn, aii_s, src, alive_s, tol, rtype, params, dt, rho_s,
-            p0=p0,
+            accel_fn, div_fn, aii_s, src, owned_s, tol, rtype, params, dt, rho_s,
+            p0=p0, psum=psum, pmax=pmax,
         )
 
     def nonpressure(v):
@@ -354,9 +384,11 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if do_levels:
         max_depth = -params.maximum_surface_distance
         dist_s = jnp.where(has_s, jnp.maximum(level_s, max_depth), max_depth)
+        dp = refresh(jnp.concatenate([dist_s[:, None], pos2_s], axis=1))
+        dist_s, pos2r_s = dp[:, 0], dp[:, 1:3]
         sm = sweep(
             tp.smooth_op(),
-            _stack(rho_s, dist_s, pos2_s[:, 0], pos2_s[:, 1]),
+            _stack(rho_s, dist_s, pos2r_s[:, 0], pos2r_s[:, 1]),
             pscale,
         )
         sm_s = sm[:, 0] / jnp.maximum(sm[:, 1], 1e-30)
@@ -440,8 +472,12 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
 
 def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s,
-                      params: SimulationParams):
-    """EmptyAngle + wavefront propagation in sorted space (simulation.rs:539-927)."""
+                      params: SimulationParams, refresh=lambda v: v,
+                      psum=lambda x: x):
+    """EmptyAngle + wavefront propagation in sorted space (simulation.rs:539-927).
+
+    refresh/psum: slab-sharding hooks — ghost rows pull owner values before each
+    wavefront sweep and the fixpoint test is a global reduction."""
     count = sweep(tp.COUNT_OP, None, ext_scale)[:, 0]
     nrm = sweep(tp.normal_op(params), None, ext_scale)
     norm2 = jnp.sum(nrm * nrm, axis=1)
@@ -457,16 +493,19 @@ def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, ali
         insufficient, False, jnp.where(symmetric, True, jnp.where(near_boundary, True, cone))
     )
     is_surface = (~is_interior) & alive_s
+    is_surface = refresh(is_surface.astype(jnp.float32)[:, None])[:, 0] > 0.5
     level = jnp.zeros_like(h_raw_s)
     has = is_surface
     flag_insufficient = insufficient & alive_s
 
     def one_sweep(lvl, hasv):
+        lh = refresh(jnp.stack([lvl, hasv.astype(jnp.float32)], axis=1))
+        lvl, hasv = lh[:, 0], lh[:, 1] > 0.5
         est = sweep(
             tp.wavefront_op(params), _stack(lvl, hasv.astype(jnp.float32)), ext_scale
         )[:, 0]
         newly = (~hasv) & (est > NEG_BIG * 0.5) & alive_s
-        return jnp.where(newly, est, lvl), hasv | newly, jnp.any(newly)
+        return jnp.where(newly, est, lvl), hasv | newly, psum(jnp.sum(newly)) > 0
 
     level, has, changed = one_sweep(level, has)
 

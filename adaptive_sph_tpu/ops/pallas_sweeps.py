@@ -122,7 +122,6 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
                   out_ref, *, cfg: TileConfig, op: SweepOp, scale: float):
     NC = cfg.capacity // TILE
     lmeta = _levels_meta(cfg)
-    ox, oy = cfg.origin
     is_sum = op.reduce == "sum"
     init_val = 0.0 if is_sum else op.fill
 

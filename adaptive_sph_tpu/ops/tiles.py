@@ -132,11 +132,12 @@ class TileBins:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def build_tiles(position, sr, h, alive, cfg: TileConfig) -> TileBins:
+def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBins:
     """Sort alive particles into the row-padded tile layout.
 
     sr: search radius per particle (mscale * h_eff) — decides the level.
     h:  smoothing length (for per-level maxima used in window bounds).
+    origin: optional traced (2,) override of cfg.origin (sharded slabs).
     """
     C = position.shape[0]
     P = list(cfg.populated)
@@ -155,7 +156,7 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig) -> TileBins:
     # cell coordinates at own level
     cell_size = cfg.cell0 * jnp.exp2(level.astype(jnp.float32))
     cell_size = jnp.where(level >= L, cfg.cell0, cell_size)
-    ox = jnp.asarray(cfg.origin, jnp.float32)
+    ox = jnp.asarray(cfg.origin, jnp.float32) if origin is None else origin.astype(jnp.float32)
     nys = [cfg.dims(l)[0] for l in range(L)]
     nxs = [cfg.dims(l)[1] for l in range(L)]
     nx_of = jnp.asarray(nxs + [1], jnp.int32)[jnp.minimum(level, L)]
@@ -283,12 +284,13 @@ def to_cand(sorted_arr):
     return jnp.swapaxes(to_chunks(sorted_arr, TILE), 1, 2)
 
 
-def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted):
+def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
     """Per-(tile, populated-level) window descriptors, vectorized (kernel prefetch).
 
     Returns int32 (NT * L * 4,): [ylo, nrows, cx_lo, cx_hi] per tile x level.
     Computed from the sorted statics (x, y, h in columns 0..2) so the kernel's
     tile loop does no vector->scalar reductions or float scalar math at all.
+    origin: optional traced (2,) override of cfg.origin (sharded slabs).
     """
     TQ = cfg.tq
     NT = cfg.capacity // TQ
@@ -304,7 +306,10 @@ def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted):
     hmax_t = jnp.max(jnp.where(valid, h, 0.0), axis=1)
     alive_t = hmax_t > 0.0
 
-    ox, oy = cfg.origin
+    if origin is None:
+        ox, oy = cfg.origin
+    else:
+        ox, oy = origin[0], origin[1]
     metas = []
     for p, l in enumerate(cfg.populated):
         ny, nx = cfg.dims(l)

@@ -65,3 +65,51 @@ def test_sharded_step_matches_single_device():
         np.asarray(single.density)[alive], np.asarray(sharded.density)[alive],
         rtol=1e-4, atol=1e-6,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_slab_sharded_tile_backend_matches_single_device(ndev):
+    """Production (sorted-tile) backend over the slab-decomposed mesh: multi-step
+    parity incl. migration/adoption across slab boundaries (parallel/tile_sharding)."""
+    from jax.sharding import Mesh
+
+    from adaptive_sph_tpu.parallel import tile_sharding as ts
+    from adaptive_sph_tpu.runner import grid_config_for
+
+    # slabs must be at least one interaction radius wide (enforced by
+    # make_slab_config), so the 8-device case needs a wide fluid block
+    scene = scene_mod.scene_from_dict(
+        {
+            "boundary": {"type": "box", "width": 2.0, "height": 2.0},
+            "blocks": [
+                {"pos": [-0.95, -0.5], "size": [1.2, 0.6], "spacing": 0.03,
+                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            ],
+        }
+    )
+    params = PARAMS.replace(
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        warm_start_pressure=True,
+    )
+    sim = create_simulation(params, scene, capacity=2048, backend="tiles")
+    gcfg = grid_config_for(sim.params, scene, sim.state, sim.state.capacity)
+    steps = 6
+    for _ in range(steps):
+        sim.step()
+    ref = ts.gather_alive(sim.state)
+
+    sim2 = create_simulation(params, scene, capacity=2048, backend="tiles")
+    scfg = ts.make_slab_config(sim2.params, gcfg, sim2.state, ndev, tq=16)
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("p",))
+    sst = ts.shard_spatially(sim2.state, scfg, mesh)
+    step = ts.make_slab_step_fn(sim2.params, scfg, sim2.boundary_handler, mesh)
+    for _ in range(steps):
+        sst, diag = step(sst)
+    sst = jax.block_until_ready(sst)
+    assert int(diag["shard_overflow"]) == 0
+    got = ts.gather_alive(sst)
+    assert got["position"].shape == ref["position"].shape
+    np.testing.assert_allclose(got["position"], ref["position"], atol=5e-5)
+    np.testing.assert_allclose(got["velocity"], ref["velocity"], atol=5e-4)
+    np.testing.assert_allclose(got["density"], ref["density"], rtol=1e-4)
