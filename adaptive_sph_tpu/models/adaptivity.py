@@ -375,42 +375,58 @@ def split(state: FluidState, params: SimulationParams, patterns, max_splits: int
                 "split_missing_pattern": missing_pattern}
 
 
-def single_step_adaptivity(state: FluidState, nb: Neighborhood, dt,
-                           params: SimulationParams, split_patterns):
+def single_step_adaptivity(state: FluidState, nb, dt,
+                           params: SimulationParams, split_patterns,
+                           partner_fn=None):
     """share every step; merge on even steps, split on odd (simulation.rs:2732-2796).
 
     step_number was already advanced by single_step_without_adaptivity, matching the
     reference's ordering (time/step advance at simulation.rs:2724-2725).
+    partner_fn(state, cls, mode) overrides the list-based matcher (the tile
+    backend passes find_partners_tiles so no neighbor lists are ever built).
     """
     diag = {}
     total_mass_1 = jnp.sum(jnp.where(state.alive, state.mass, 0.0))
 
+    if partner_fn is None:
+        def partner_fn(st, cls, mode):
+            return _find_partners(st, nb, cls, dt, params, mode)
+
     if params.sharing:
         cls = classify(state, params)
-        partner, cnt, _active = _find_partners(state, nb, cls, dt, params, "share")
+        partner, cnt, _active = partner_fn(state, cls, "share")
         state = _apply_transfer(state, partner, cnt, dt, params, "share")
         diag["shares"] = jnp.sum(cnt > 0)
 
     def do_merge(st):
         cls = classify(st, params)
-        partner, cnt, _ = _find_partners(st, nb, cls, dt, params, "merge")
+        partner, cnt, _ = partner_fn(st, cls, "merge")
         st2 = _apply_transfer(st, partner, cnt, dt, params, "merge")
-        return compact(st2), jnp.sum(cnt > 0)
+        return compact(st2), jnp.sum(cnt > 0), jnp.int32(0), jnp.int32(0)
 
     def do_split(st):
         st2, sdiag = split(st, params, split_patterns, max_splits=_max_splits(st.capacity))
-        return st2, sdiag["splits"]
+        return (st2, sdiag["splits"], sdiag["split_missing_pattern"].astype(jnp.int32),
+                sdiag["split_deferred"].astype(jnp.int32))
+
+    def no_op(st):
+        return st, jnp.int32(0), jnp.int32(0), jnp.int32(0)
 
     even = (state.step_number % 2) == 0
     if params.merging and params.splitting:
-        state, count = jax.lax.cond(even, do_merge, do_split, state)
+        state, count, missing, deferred = jax.lax.cond(even, do_merge, do_split, state)
         diag["merge_or_split_count"] = count
     elif params.merging:
-        state, count = jax.lax.cond(even, do_merge, lambda st: (st, jnp.int32(0)), state)
+        state, count, missing, deferred = jax.lax.cond(even, do_merge, no_op, state)
         diag["merges"] = count
     elif params.splitting:
-        state, count = jax.lax.cond(even, lambda st: (st, jnp.int32(0)), do_split, state)
+        state, count, missing, deferred = jax.lax.cond(even, no_op, do_split, state)
         diag["splits"] = count
+    if params.splitting:
+        # splitting.rs:32-40 panics on a missing pattern iff the flag is set; the
+        # runner raises on this counter (clamping to the largest pattern otherwise)
+        diag["split_missing_pattern"] = missing
+        diag["split_deferred"] = deferred
 
     total_mass_2 = jnp.sum(jnp.where(state.alive, state.mass, 0.0))
     diag["mass_conservation_error"] = jnp.abs(total_mass_1 - total_mass_2)
@@ -419,3 +435,149 @@ def single_step_adaptivity(state: FluidState, nb: Neighborhood, dt,
 
 def _max_splits(capacity: int) -> int:
     return max(64, capacity // 16)
+
+
+def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
+    """Partner matching on the sorted-tile engine (zero per-edge gathers).
+
+    Same four pair reductions as _find_partners (cnt0, cnt1, donor stand-down,
+    receiver assignment), each a SweepOp over a fresh tile build at the
+    post-step positions — the adaptive step never touches ops/neighbors.py.
+    Pair-set semantics identical to the list path: candidates within
+    max_{merge,share}_distance * h_ij (strictly less-or-equal, matched via a
+    mask_fn on top of a slightly widened harness radius).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.pallas_sweeps import NEG_BIG, SweepOp, run_sweep
+    from ..ops.tiles import build_tiles, sort_fields, unsort, window_meta
+    from . import physics
+
+    C = state.capacity
+    idx = jnp.arange(C, dtype=jnp.int32)
+    level = _level_or_max_depth(state, params)
+    target_mass = optimal_mass_from_level(level, params, dim=2)
+    mass_base = params.mass_base(2)
+    h_eff = physics.effective_h(state.h, params)
+
+    if mode == "merge":
+        donor_class = (cls == SIZE_TOO_SMALL) & state.alive
+        max_dist_f = float(params.max_merge_distance)
+        dropped = _dropped_mass_merging(level, state.mass, dt, params)
+    else:
+        donor_class = (cls == SIZE_LARGE) & state.alive
+        max_dist_f = float(params.max_share_distance)
+        dropped = _dropped_mass_sharing(level, state.mass, dt, params)
+
+    bins = build_tiles(state.position, h_eff * jnp.float32(tcfg.mscale), h_eff,
+                       state.alive, tcfg)
+    allsorted = sort_fields(
+        bins,
+        [state.position, h_eff, state.mass,
+         cls.astype(jnp.float32), target_mass, dropped,
+         idx.astype(jnp.float32), donor_class.astype(jnp.float32)],
+    )
+    st = allsorted[:, 0:4]
+    wm = window_meta(tcfg, bins, st)
+    dyn_base = allsorted[:, 4:9]  # cls, target, dropped, fidx, donor
+
+    def receiver_ok(d, r):
+        """r eligible as receiver of donor d (class rules)."""
+        rc = r["cls"]
+        if mode == "merge":
+            ok = jnp.where(
+                (rc == float(SIZE_LARGE)) | (rc == float(SIZE_TOO_LARGE)),
+                False,
+                jnp.where(rc == float(SIZE_OPTIMAL),
+                          bool(params.allow_merge_with_optimal_particle), True),
+            )
+            if params.allow_merge_on_size_difference:
+                ok = ok | (r["mass"] > 5.0 * d["mass"])
+            return ok
+        return jnp.where(
+            rc == float(SIZE_SMALL), True,
+            jnp.where(rc == float(SIZE_TOO_SMALL),
+                      bool(params.allow_share_with_too_small_particle),
+                      jnp.where(rc == float(SIZE_OPTIMAL),
+                                bool(params.allow_share_with_optimal_particle),
+                                False)),
+        )
+
+    def near_mask(q, c, ctx):
+        # exact <= max_dist semantics (harness radius is strict <, so the sweep
+        # runs at a widened scale and this mask restores the reference bound)
+        md = jnp.float32(max_dist_f) * ctx.h_ij
+        return ctx.r2 <= md * md
+
+    # the reference only sees pairs inside its 2 h_ij neighbor lists, so a
+    # max_*_distance beyond the support radius is clipped by construction
+    scale = min(max_dist_f, float(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH)) * (1.0 + 1e-6)
+    mk = dict(mask_fn=near_mask)
+
+    def elig_base_dr(d, r, ctx):
+        """d = donor side, r = receiver side; ctx pair mask already applied."""
+        not_self = d["fidx"] != r["fidx"]
+        return (d["donor"] > 0.5) & not_self & receiver_ok(d, r)
+
+    # pass 1: potential receiver count per donor (q = donor, c = receiver)
+    op1 = SweepOp(
+        name="adapt_cnt0", n_out=1, dyn_names=("cls", "target", "dropped", "fidx", "donor"),
+        emit=lambda q, c, ctx: [elig_base_dr(q, c, ctx).astype(jnp.float32)], **mk,
+    )
+    cnt0_s = jnp.maximum(run_sweep(tcfg, bins, st, dyn_base, op1, scale, wmeta=wm)[:, 0], 1.0)
+
+    dyn6 = jnp.concatenate([dyn_base, cnt0_s[:, None]], axis=1)
+
+    def elig_full_dr(d, r, ctx):
+        new_mass_r = r["mass"] + d["dropped"] / d["cnt0"]
+        mass_ok = (new_mass_r < r["target"] * FACTOR_LARGE) & (new_mass_r <= mass_base)
+        return elig_base_dr(d, r, ctx) & mass_ok
+
+    op2 = SweepOp(
+        name="adapt_cnt1", n_out=1,
+        dyn_names=("cls", "target", "dropped", "fidx", "donor", "cnt0"),
+        emit=lambda q, c, ctx: [elig_full_dr(q, c, ctx).astype(jnp.float32)], **mk,
+    )
+    cnt1_s = run_sweep(tcfg, bins, st, dyn6, op2, scale, wmeta=wm)[:, 0]
+    donor_cand_s = (dyn6[:, 4] > 0.5) & (cnt1_s > 0.5)
+
+    dyn7 = jnp.concatenate([dyn6, donor_cand_s.astype(jnp.float32)[:, None]], axis=1)
+
+    # donor stand-down: q as receiver, c as donor candidate claiming q
+    def claimer_edge(q, c, ctx):
+        ok = (c["cand"] > 0.5) & elig_full_dr(c, q, ctx)
+        return [jnp.where(ok, -c["fidx"], NEG_BIG)]
+
+    op3 = SweepOp(
+        name="adapt_claim", n_out=1,
+        dyn_names=("cls", "target", "dropped", "fidx", "donor", "cnt0", "cand"),
+        emit=claimer_edge, reduce="max", fill=NEG_BIG, **mk,
+    )
+    neg_min_claimer = run_sweep(tcfg, bins, st, dyn7, op3, scale, wmeta=wm)[:, 0]
+    min_claimer_s = -neg_min_claimer
+    fidx_s = dyn6[:, 3]
+    deact = donor_cand_s & (min_claimer_s < fidx_s)
+    active_s = donor_cand_s & ~deact
+
+    dyn7b = jnp.concatenate([dyn6, active_s.astype(jnp.float32)[:, None]], axis=1)
+
+    def partner_edge(q, c, ctx):
+        ok = (c["cand"] > 0.5) & elig_full_dr(c, q, ctx)
+        return [jnp.where(ok, -c["fidx"], NEG_BIG)]
+
+    op4 = SweepOp(
+        name="adapt_partner", n_out=1,
+        dyn_names=("cls", "target", "dropped", "fidx", "donor", "cnt0", "cand"),
+        emit=partner_edge, reduce="max", fill=NEG_BIG, **mk,
+    )
+    neg_partner = run_sweep(tcfg, bins, st, dyn7b, op4, scale, wmeta=wm)[:, 0]
+
+    # fills differ per column: dropped/dead rows must read "no partner" (+BIG
+    # after negation) and "not active"
+    partner_f = -unsort(bins, neg_partner[:, None], None, NEG_BIG)[:, 0]
+    active = (unsort(bins, active_s.astype(jnp.float32)[:, None], None, 0.0)[:, 0]
+              > 0.5) & state.alive
+    has_partner = (partner_f < -NEG_BIG * 0.5) & state.alive & ~active
+    partner = jnp.where(has_partner, partner_f, C).astype(jnp.int32)
+    cnt = jnp.zeros(C + 1, jnp.int32).at[partner].add(1)[:C]
+    return partner, cnt, active

@@ -83,3 +83,34 @@ def check_aii_deviation(nb: Neighborhood, bt, position, mass, density, h, aii,
     aii_real = fluid_div + bdiv
     dev = jnp.where(alive, jnp.abs(aii_real - aii), 0.0)
     return jnp.max(dev)
+
+
+def bruteforce_neighbor_count(position, h_eff, alive, scale, chunk: int = 256):
+    """O(C^2) ground-truth neighbor counts (check_neighborhood,
+    simulation.rs:1810-1863 + neighborhood_search.rs:187-238), evaluated in
+    row blocks so the dense pair mask never materializes at (C, C).
+
+    Pair semantics identical to every engine: |x_ij| < scale * (h_i + h_j) / 2,
+    self included."""
+    import jax
+
+    C = position.shape[0]
+    pad = (-C) % chunk
+    if pad:
+        position = jnp.concatenate([position, jnp.zeros((pad, 2), position.dtype)])
+        h_eff = jnp.concatenate([h_eff, jnp.zeros((pad,), h_eff.dtype)])
+        alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)])
+    h = jnp.where(alive, h_eff, 0.0)
+
+    def blk(i):
+        p = jax.lax.dynamic_slice_in_dim(position, i * chunk, chunk)
+        hh = jax.lax.dynamic_slice_in_dim(h, i * chunk, chunk)
+        d = p[:, None, :] - position[None, :, :]
+        r2 = jnp.sum(d * d, axis=-1)
+        hij = 0.5 * (hh[:, None] + h[None, :])
+        rad = jnp.float32(scale) * hij
+        m = (r2 < rad * rad) & (h[None, :] > 0.0) & (hh[:, None] > 0.0)
+        return jnp.sum(m, axis=1).astype(jnp.int32)
+
+    counts = jax.lax.map(blk, jnp.arange((C + pad) // chunk))
+    return counts.reshape(-1)[:C]

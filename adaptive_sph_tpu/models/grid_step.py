@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..ops import kernels
 from ..ops.grid import GridBins, GridConfig, build_bins, gather_result, scatter_field
 from ..utils.params import (
+    FillStashWith,
     HybridDfsphDensitySourceTerm,
     LevelEstimationMethod,
     ParticleSizes,
@@ -35,7 +36,11 @@ NEG_INF = jnp.float32(-3.0e38)
 
 
 def supports_grid_backend(params: SimulationParams) -> bool:
-    return not (params.constrain_neighborhood_count or params.check_aii)
+    if params.constrain_neighborhood_count or params.check_aii:
+        return False
+    if params.level_estimation_active() and params.level_estimation_after_advection:
+        return False  # see supports_tile_backend
+    return True
 
 
 def physics_scale(params) -> float:
@@ -153,7 +158,13 @@ def level_estimation_slots(cfg, bins, sf, ext_scale, dist_b_slots, params):
         newly = (~hasv) & (est > NEG_INF * 0.5) & alive_slots
         return jnp.where(newly, est, lvl), hasv | newly, jnp.any(newly)
 
+    max_depth = jnp.float32(-params.maximum_surface_distance)
+    stash = None
+    if params.fill_stash_with == FillStashWith.SurfaceDistanceFirstIteration:
+        stash = jnp.where(has, level, max_depth)  # simulation.rs:909-916
     level, has, changed = one_sweep(level, has)
+    if params.fill_stash_with == FillStashWith.SurfaceDistanceMiddle:
+        stash = jnp.where(has, level, max_depth)  # simulation.rs:792 (num_iter == 1)
 
     def cond(c):
         return c[2]
@@ -162,7 +173,7 @@ def level_estimation_slots(cfg, bins, sf, ext_scale, dist_b_slots, params):
         return one_sweep(c[0], c[1])
 
     level, has, _ = jax.lax.while_loop(cond, body, (level, has, changed))
-    return level, has, is_surface, flag_insufficient, count
+    return level, has, is_surface, flag_insufficient, count, stash
 
 
 def smooth_level_slots(cfg, bins, sf, scale, level, has, params):
@@ -271,11 +282,16 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
     do_levels = params.level_estimation_active()
     if do_levels and not params.level_estimation_after_advection:
         assert params.level_estimation_method != LevelEstimationMethod.CenterDiff
-        level_slots, has_slots, surf_slots, insuf_slots, count_slots = level_estimation_slots(
-            gcfg, bins, sf, ext_scale, dist_b_slots, params
+        level_slots, has_slots, surf_slots, insuf_slots, count_slots, stash_slots = (
+            level_estimation_slots(gcfg, bins, sf, ext_scale, dist_b_slots, params)
         )
         flag_surface = gather_result(bins, gcfg, surf_slots, False) & alive
         flag_insufficient = gather_result(bins, gcfg, insuf_slots, False) & alive
+        if stash_slots is not None:
+            stash = jnp.where(
+                alive, gather_result(bins, gcfg, stash_slots,
+                                     -params.maximum_surface_distance), state.stash
+            )
 
     # neighbor count at the physics radius (diagnostic; simulation.rs:2072-2074)
     if params.force_diagnostic_fields:
@@ -505,6 +521,7 @@ def single_step_grid(state: FluidState, params: SimulationParams, gcfg: GridConf
         density=density,
         aii=aii,
         constant_field=constant_field,
+        stash=stash,
         h=h,
         h_next=h_next,
         level=level,

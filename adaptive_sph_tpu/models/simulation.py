@@ -211,6 +211,24 @@ def single_step_without_adaptivity(
             nb, bt, pos, state.mass, density, h_eff, aii, alive, params
         )
 
+    if params.check_neighborhood:
+        # O(C^2) brute-force verification (simulation.rs:2076-2088): the neighbor
+        # structure's pair count must equal ground truth for every alive particle
+        from ..ops.pairwise import sym_sum
+        from .debug_checks import bruteforce_neighbor_count
+        from .grid_step import physics_scale
+
+        eng = sym_sum(
+            nb, {"pos": pos, "h": h_eff},
+            lambda vi, vj: jnp.ones_like(vi["h"]),
+        ).astype(jnp.int32)
+        ref_cnt = bruteforce_neighbor_count(
+            pos, h_eff, alive, physics_scale(params)
+        )
+        diag["neighborhood_check_mismatch"] = jnp.sum(
+            jnp.where(alive, jnp.abs(eng - ref_cnt), 0)
+        )
+
     # 13. pressure solve + integrate (simulation.rs:2261-2671)
     st = state.replace(density=density, aii=aii, h=h)
     new_fields, sdiag = solver.solve_and_integrate(nb, cache, bst, st, h_eff, dt, params)
@@ -300,13 +318,13 @@ def make_step_fn(params: SimulationParams, ncfg: nbr.NeighborConfig, boundary_ha
         def step(state: FluidState):
             state, dt, diag = single_step_tiles(state, params, tile_cfg, boundary_handler)
             if resampling:
-                h_eff = physics.effective_h(state.h, params)
-                nb = nbr.build_neighborhood(
-                    state.position, h_eff, state.alive,
-                    jnp.float32(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH), ncfg,
-                )
+                # tile-native partner matching: the adaptive step performs zero
+                # per-edge gathers and never builds neighbor lists
+                def partner_fn(st, cls, mode):
+                    return adapt.find_partners_tiles(st, tile_cfg, cls, dt, params, mode)
+
                 state, adiag = adapt.single_step_adaptivity(
-                    state, nb, dt, params, split_patterns
+                    state, None, dt, params, split_patterns, partner_fn=partner_fn
                 )
                 diag.update(adiag)
             return state, diag

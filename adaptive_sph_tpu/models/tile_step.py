@@ -39,7 +39,13 @@ from .state import FluidState
 
 
 def supports_tile_backend(params: SimulationParams) -> bool:
-    return not (params.constrain_neighborhood_count or params.check_aii)
+    if params.constrain_neighborhood_count or params.check_aii:
+        return False
+    if params.level_estimation_active() and params.level_estimation_after_advection:
+        # post-advection surface detection (incl. CenterDiff, which needs
+        # densities — simulation.rs:2021/2678-2707) runs on the list backend
+        return False
+    return True
 
 
 def _stack(*cols):
@@ -133,11 +139,11 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # 3. level estimation (pre-advection; simulation.rs:2018-2058)
     level_s = allsorted[:, 8]
     has_s = allsorted[:, 9] > 0.5
-    surf_s = insuf_s = None
+    surf_s = insuf_s = stash_s = None
     do_levels = params.level_estimation_active()
     if do_levels and not params.level_estimation_after_advection:
         assert params.level_estimation_method != LevelEstimationMethod.CenterDiff
-        level_s, has_s, surf_s, insuf_s = _level_estimation(
+        level_s, has_s, surf_s, insuf_s, stash_s = _level_estimation(
             tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, alive_s, params,
             refresh=refresh, psum=psum,
         )
@@ -146,6 +152,17 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     ncount_s = None
     if params.force_diagnostic_fields:
         ncount_s = sweep(tp.COUNT_OP, None, pscale)[:, 0]
+
+    # opt-in O(C^2) neighborhood verification (simulation.rs:2076-2088): the
+    # engine's pair count must equal the brute-force count for every owned particle
+    if params.check_neighborhood:
+        from .debug_checks import bruteforce_neighbor_count
+
+        eng = sweep(tp.COUNT_OP, None, pscale)[:, 0].astype(jnp.int32)
+        ref_cnt = bruteforce_neighbor_count(pos_s, h_s, alive_s, pscale)
+        diag["neighborhood_check_mismatch"] = psum(
+            jnp.sum(jnp.where(owned_s, jnp.abs(eng - ref_cnt), 0))
+        )
 
     # 6. h_next estimation (simulation.rs:2090-2143); unsorted in the final batch
     hn_s = None
@@ -191,26 +208,47 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     sf_like = {"rho": rho_s, "mass": mass_s, "h": h_s}
 
-    if first_np_at_start:
+    # The weight-cache entries w_ij = m_j grad W_ij are exactly the integrand of
+    # the a_ii fluid sums, so when the cache is on, ONE fused kernel walk
+    # (ops/pallas_matvec.py build_weight_cache_prep) produces the weight blocks,
+    # the four a_ii sums, AND the first-kick viscosity in a single pass.
+    import os as _os
+
+    use_wcache = _os.environ.get("ASPH_NO_WCACHE", "0") != "1"
+    wcache = wmeta_blocks = wcnt = None
+    from ..utils.params import ViscosityType as _VT
+
+    if use_wcache:
+        from ..ops.pallas_matvec import build_weight_cache_prep
+
+        if first_np_at_start and params.viscosity_type == _VT.WCSPH:
+            vm = "wcsph"
+        elif first_np_at_start and params.viscosity_type == _VT.ApproxLaplace:
+            vm = "laplace"
+        else:
+            vm = "none"
+        dyn3 = _stack(rho_s, vel_s[:, 0], vel_s[:, 1])
+        wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
+            tcfg, bins, st, dyn3, pscale, tcfg.b_max, vm, params.viscosity,
+            wmeta=wm,
+        )
+        diag["wcache_overflow"] = wcnt[1]
+    elif first_np_at_start:
         res = sweep(tp.prep_op(params), _stack(rho_s, vel_s[:, 0], vel_s[:, 1]), pscale)
-        sums = {
-            "mj_wij": res[:, 0:2],
-            "mj_wij_sq": res[:, 2],
-            "mj_by_rhoj_wij": res[:, 3:5],
-            "mj_by_rhoj_wij_sq": res[:, 5],
-        }
-        visc0 = res[:, 6:8]
-        aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
-        first_np_vel = vel_s + dt * finish_nonpressure(visc0)
     else:
         res = sweep(tp.aii_sums_op(), _stack(rho_s), pscale)
-        sums = {
-            "mj_wij": res[:, 0:2],
-            "mj_wij_sq": res[:, 2],
-            "mj_by_rhoj_wij": res[:, 3:5],
-            "mj_by_rhoj_wij_sq": res[:, 5],
-        }
-        aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
+
+    sums = {
+        "mj_wij": res[:, 0:2],
+        "mj_wij_sq": res[:, 2],
+        "mj_by_rhoj_wij": res[:, 3:5],
+        "mj_by_rhoj_wij_sq": res[:, 5],
+    }
+    aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
+    if first_np_at_start:
+        visc0 = res[:, 6:8] if res.shape[1] >= 8 else jnp.zeros_like(vel_s)
+        first_np_vel = vel_s + dt * finish_nonpressure(visc0)
+    else:
         first_np_vel = None
     aii_s = jnp.where(alive_s, aii_s, 0.0)
     diag["negative_aii"] = psum(jnp.sum(owned_s & (aii_s < 0.0)))
@@ -222,16 +260,9 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # gradient sums S1/S2 come from the fused prep sweep above.
     w2020 = params.operator_discretization == OperatorDiscretization.Winchenbach2020
     zero_q = jnp.zeros(2, jnp.float32)
-    import os as _os
-
-    use_wcache = _os.environ.get("ASPH_NO_WCACHE", "0") != "1"
     if use_wcache:
-        from ..ops.pallas_matvec import build_weight_cache, weight_matvec
+        from ..ops.pallas_matvec import weight_matvec
 
-        wcache, wmeta_blocks, wcnt = build_weight_cache(
-            tcfg, bins, st, pscale, tcfg.b_max, wmeta=wm
-        )
-        diag["wcache_overflow"] = wcnt[1]
         rho_inv = 1.0 / jnp.maximum(rho_s, 1e-30)
         S1 = sums["mj_wij"]
         S2 = sums["mj_by_rhoj_wij"]
@@ -402,7 +433,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     nxt = 12
     for key, val in (("hn", hn_s), ("surf", surf_s), ("insuf", insuf_s),
                      ("ncount", ncount_s), ("cf", cf_s), ("sm", sm_s),
-                     ("pdiv", pdiv_s)):
+                     ("pdiv", pdiv_s), ("stash", stash_s)):
         if val is not None:
             cols.append(val.astype(jnp.float32)[:, None])
             names[key] = (nxt, nxt + 1)
@@ -445,11 +476,15 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     pressure_div = state.pressure_div
     if pdiv_s is not None:
         pressure_div = jnp.where(alive & ok1, take("pdiv"), 0.0)
+    stash = state.stash
+    if stash_s is not None:
+        stash = jnp.where(alive & ok1, take("stash"), state.stash)
     new_state = state.replace(
         position=pos2,
         velocity=vel2,
         pressure=take("p"),
         pressure_div=pressure_div,
+        stash=stash,
         pressure_accel=take("pa"),
         ppe_source_term=take("src"),
         density_error=take("derr"),
@@ -497,6 +532,10 @@ def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, ali
     level = jnp.zeros_like(h_raw_s)
     has = is_surface
     flag_insufficient = insufficient & alive_s
+    max_depth = jnp.float32(-params.maximum_surface_distance)
+    stash = None
+    if params.fill_stash_with == FillStashWith.SurfaceDistanceFirstIteration:
+        stash = jnp.where(has, level, max_depth)
 
     def one_sweep(lvl, hasv):
         lh = refresh(jnp.stack([lvl, hasv.astype(jnp.float32)], axis=1))
@@ -508,6 +547,8 @@ def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, ali
         return jnp.where(newly, est, lvl), hasv | newly, psum(jnp.sum(newly)) > 0
 
     level, has, changed = one_sweep(level, has)
+    if params.fill_stash_with == FillStashWith.SurfaceDistanceMiddle:
+        stash = jnp.where(has, level, max_depth)
 
     def cond(c):
         return c[2]
@@ -516,7 +557,7 @@ def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, ali
         return one_sweep(c[0], c[1])
 
     level, has, _ = jax.lax.while_loop(cond, body, (level, has, changed))
-    return level, has, is_surface, flag_insufficient
+    return level, has, is_surface, flag_insufficient, stash
 
 
 def _h_next_distribution(sweep, st, lam_s, params: SimulationParams, pscale):

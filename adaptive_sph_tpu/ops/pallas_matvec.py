@@ -331,3 +331,230 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     if k_out == 1:
         return out[:, 0, :].reshape(C, 1)
     return jnp.swapaxes(out[:, 0:k_out, :], 1, 2).reshape(C, k_out)
+
+
+def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
+                       w_hbm, qt_ref, an_ref, cnt_ref, prep_ref, scratch, sem, *,
+                       cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
+                       viscosity: float, rest_eps: float = 1e-30):
+    """Fused per-step pass: weight-cache build + the prep sums in ONE window walk.
+
+    The weight block entries w = m_j * grad W_ij ARE the integrand of the a_ii
+    fluid sums (S1 = sum w, S2 = sum w / rho_j, g2 = |w|^2 / m_j), so the prep
+    sweep (models/tile_physics.py prep_op) comes nearly free: per window one
+    masked (64, 8*TQ) term block is sublane-reduced into a per-tile accumulator.
+    Outputs match prep_op's column order:
+      [m gx, m gy, m g2, mbr gx, mbr gy, mbr g2, visc_x, visc_y].
+    """
+    lmeta = _levels_meta(cfg)
+    TQ = cfg.tq
+    NL = len(cfg.populated)
+    C = cfg.capacity
+    D2 = 2
+
+    def tile_body(t, carry):
+        qs = sq_ref[t]  # (F, TQ) channels-first queries
+        qx = qs[0:1, :]
+        qy = qs[1:2, :]
+        qh = qs[2:3, :]
+        qvalid = qh > 0.0
+        qd = dq_ref[t]  # (3, TQ): rho, velx, vely
+        q_rho = qd[0:1, :]
+        q_vx = qd[1:2, :]
+        q_vy = qd[2:3, :]
+
+        acc0 = jnp.zeros((1, 8 * TQ), jnp.float32)
+
+        def window_work(a, lo_k, hi_k, carry):
+            slot, attempted, acc = carry
+            cand = sc_ref[pl.ds(a, TILE), :]  # (64, F)
+            cx = cand[:, 0:1]
+            cy = cand[:, 1:2]
+            ch = cand[:, 2:3]
+            cm = cand[:, 3:4]
+            cd = dflat_ref[pl.ds(a, TILE), :]  # (64, 3)
+            c_rho = cd[:, 0:1]
+            c_vx = cd[:, 1:2]
+            c_vy = cd[:, 2:3]
+            col = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) + a
+            h_ij = jnp.maximum(0.5 * (qh + ch), 1e-6)
+            dx = qx - cx  # (64, TQ)
+            dy = qy - cy
+            r2 = dx * dx + dy * dy
+            rad = jnp.float32(scale) * h_ij
+            valid = (
+                (col >= lo_k) & (col < hi_k) & (r2 < rad * rad) & (ch > 0.0) & qvalid
+            )
+            g = jnp.where(valid, cm * _gmag(r2, h_ij), 0.0)
+            wx = g * dx
+            wy = g * dy
+            nonempty = jnp.any(valid)
+            emit = nonempty & (slot < b_max)
+
+            @pl.when(emit)
+            def _():
+                buf = jnp.mod(slot, 2)
+
+                @pl.when(slot >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        scratch.at[buf], w_hbm.at[jnp.maximum(slot - 2, 0)], sem.at[buf]
+                    ).wait()
+
+                half = _lane_width(TQ) // 2
+                scratch[buf, :, 0:TQ] = wx
+                scratch[buf, :, half:half + TQ] = wy
+                pltpu.make_async_copy(
+                    scratch.at[buf], w_hbm.at[slot], sem.at[buf]
+                ).start()
+                qt_ref[slot] = t
+                an_ref[slot] = a
+
+            inv_m = 1.0 / jnp.maximum(cm, rest_eps)
+            inv_rho = 1.0 / jnp.maximum(c_rho, rest_eps)
+            t2 = (wx * wx + wy * wy) * inv_m
+            if visc_mode == "none":
+                vx_t = jnp.zeros_like(wx)
+                vy_t = jnp.zeros_like(wy)
+            else:
+                dvx = q_vx - c_vx
+                dvy = q_vy - c_vy
+                dot = dx * dvx + dy * dvy
+                if visc_mode == "wcsph":
+                    vt = (
+                        2.0 * jnp.float32(viscosity) * h_ij * 88.0
+                        / jnp.maximum(q_rho + c_rho, rest_eps)
+                    )
+                    pi_ab = -vt * dot / (r2 + 0.001 * h_ij * h_ij)
+                    coef = -pi_ab  # times m_j, folded into wx/wy below via inv_m
+                else:  # ApproxLaplace
+                    rho_ij = jnp.maximum((q_rho + c_rho) * 0.5, rest_eps)
+                    coef = (
+                        jnp.float32(viscosity)
+                        * (2.0 * (D2 + 2) * dot / (r2 + 0.01 * h_ij * h_ij) / rho_ij)
+                    )
+                coef = jnp.where(dot < 0.0, coef, 0.0)
+                # visc pair term = coef * m_j * gmag * d = coef * w
+                vx_t = coef * wx
+                vy_t = coef * wy
+            terms = jnp.concatenate(
+                [wx, wy, t2, wx * inv_rho, wy * inv_rho, t2 * inv_rho, vx_t, vy_t],
+                axis=1,
+            )  # (64, 8*TQ)
+            acc = acc + jnp.sum(terms, axis=0, keepdims=True)
+
+            return (slot + emit.astype(jnp.int32),
+                    attempted + nonempty.astype(jnp.int32), acc)
+
+        def level_block(li, lm, carry):
+            mbase = (t * NL + li) * 4
+            ylo = wmeta_ref[mbase]
+            nrows = wmeta_ref[mbase + 1]
+            xlo = wmeta_ref[mbase + 2]
+            xhi = wmeta_ref[mbase + 3]
+
+            def row_body(r, carry):
+                y = ylo + r
+                base = lm["coff"] + y * lm["nx"]
+                lo = starts_ref[base + xlo]
+                hi = starts_ref[base + xhi + 1]
+                a0 = (lo // 8) * 8
+                nwin = jnp.where(hi > lo, (hi - a0 + TILE - 1) // TILE, 0)
+
+                def win_body(k, carry):
+                    a = jnp.minimum(a0 + k * TILE, C - TILE)
+                    lo_k = jnp.maximum(a0 + k * TILE, lo)
+                    hi_k = jnp.minimum(hi, a0 + (k + 1) * TILE)
+                    return window_work(a, lo_k, hi_k, carry)
+
+                return jax.lax.fori_loop(0, nwin, win_body, carry, unroll=False)
+
+            return jax.lax.fori_loop(0, nrows, row_body, carry, unroll=False)
+
+        slot, attempted, acc = carry[0], carry[1], acc0
+        for li, lm in enumerate(lmeta):
+            slot, attempted, acc = level_block(li, lm, (slot, attempted, acc))
+        prep_ref[t] = acc
+        return slot, attempted
+
+    NT = cfg.capacity // TQ
+    slot, attempted = jax.lax.fori_loop(
+        0, NT, tile_body, (jnp.int32(0), jnp.int32(0)), unroll=False
+    )
+
+    @pl.when(slot >= 1)
+    def _():
+        pltpu.make_async_copy(
+            scratch.at[jnp.mod(slot - 1, 2)], w_hbm.at[slot - 1],
+            sem.at[jnp.mod(slot - 1, 2)],
+        ).wait()
+
+    @pl.when(slot >= 2)
+    def _():
+        pltpu.make_async_copy(
+            scratch.at[jnp.mod(slot - 2, 2)], w_hbm.at[slot - 2],
+            sem.at[jnp.mod(slot - 2, 2)],
+        ).wait()
+
+    cnt_ref[0] = slot
+    cnt_ref[1] = attempted - slot
+
+
+def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
+                            dyn_sorted, scale: float, b_max: int, visc_mode: str,
+                            viscosity: float, wmeta=None, interpret=None):
+    """Fused builder: returns (weights, (qt, anchor), cnt, prep (C, 8)).
+
+    dyn_sorted: (C, 3) sorted [rho, velx, vely]. prep columns match
+    tile_physics.prep_op; visc_mode in {"none", "wcsph", "laplace"}.
+    """
+    assert b_max % GRP == 0
+    TQ = cfg.tq
+    NT = cfg.capacity // TQ
+    sq = jnp.swapaxes(to_chunks(statics_sorted, TQ), 1, 2)  # (NT, F, TQ)
+    dq = jnp.swapaxes(to_chunks(dyn_sorted, TQ), 1, 2)  # (NT, 3, TQ)
+    if wmeta is None:
+        wmeta = window_meta(cfg, bins, statics_sorted)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kern = functools.partial(
+        _build_prep_kernel, cfg=cfg, scale=float(scale), b_max=b_max,
+        visc_mode=visc_mode, viscosity=float(viscosity),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sc flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dyn flat
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, _lane_width(TQ)), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    w, qt, an, cnt, prep = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), jnp.float32),
+            jax.ShapeDtypeStruct((b_max,), jnp.int32),
+            jax.ShapeDtypeStruct((b_max,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+            jax.ShapeDtypeStruct((NT, 1, 8 * TQ), jnp.float32),
+        ),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
+    prep_cols = jnp.swapaxes(prep.reshape(NT, 8, TQ), 1, 2).reshape(cfg.capacity, 8)
+    return w, (qt, an), cnt, prep_cols

@@ -40,6 +40,8 @@ class Simulation:
     check_invariants: bool = True
     tile_cfg: object = None
     grid_cfg: object = None
+    backend: str = "auto"
+    split_patterns: object = None
 
     @property
     def time(self) -> float:
@@ -77,6 +79,12 @@ class Simulation:
                     f"weight-cache overflow: {int(diag['wcache_overflow'])} blocks "
                     "dropped (raise TileConfig.b_max)"
                 )
+            if "neighborhood_check_mismatch" in diag:
+                mm = int(diag["neighborhood_check_mismatch"])
+                if mm > 0:  # simulation.rs:1810-1863 asserts
+                    raise SimulationFailed(
+                        f"check_neighborhood: {mm} pair-count mismatches vs brute force"
+                    )
             if "aii_deviation" in diag:
                 dev = float(diag["aii_deviation"])
                 if not dev < 0.01:  # f32 tolerance (simulation.rs:1369-1374)
@@ -87,6 +95,11 @@ class Simulation:
                     raise SimulationFailed(f"mass not conserved after adaptivity: {err}")
 
         self.state = new_state
+        # capacity growth re-pads self.state, so it must run AFTER the state swap
+        if self.check_invariants and "split_missing_pattern" in diag:
+            self._check_split_diag(
+                int(diag["split_missing_pattern"]), int(diag["split_deferred"])
+            )
         self.counters.add_time("simulation-step", elapsed)
         self.counters.add_value("particle-count", float(new_state.n))
         self.counters.add_value("dt", float(diag["dt"]))
@@ -95,6 +108,43 @@ class Simulation:
         if "density_iterations" in diag and int(diag["density_iterations"]) > 0:
             self.counters.add_value("density-iterations", float(diag["density_iterations"]))
         return diag
+
+    def grow_capacity(self, factor: int = 2):
+        """Double the fixed particle capacity and recompile the step.
+
+        The reference extends its arrays freely on split (splitting.rs:56-58);
+        with fixed-capacity SoA state this re-padding is the ONLY recompile event
+        (SURVEY.md section 7). Deferred splits run on the next odd step.
+        """
+        import jax.numpy as jnp
+
+        old = self.state
+        new_cap = ((old.capacity * factor + 1023) // 1024) * 1024
+
+        def pad(a):
+            if not hasattr(a, "ndim") or a.ndim == 0:
+                return a
+            out = np.zeros((new_cap,) + a.shape[1:], np.asarray(a).dtype)
+            out[: a.shape[0]] = np.asarray(a)
+            return jnp.asarray(out)
+
+        self.state = jax.tree.map(pad, old)
+        self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = _compile_step(
+            self.params, self.scene, self.state, self.backend,
+            self.boundary_handler, self.split_patterns,
+        )
+        self._chunked = {}
+        self.counters.add_value("capacity-growth", float(new_cap))
+
+    def _check_split_diag(self, missing, deferred):
+        if self.params.fail_on_missing_split_pattern and missing > 0:
+            # splitting.rs:32-40 panic
+            raise SimulationFailed(
+                f"Missing split pattern for {missing} particles "
+                "(fail_on_missing_split_pattern)"
+            )
+        if deferred > 0:
+            self.grow_capacity()
 
     def run_until(self, t_end: float, max_steps: int = 10**9):
         steps = 0
@@ -137,8 +187,20 @@ class Simulation:
             if "wcache_overflow" in diags:
                 if int(np.max(np.asarray(diags["wcache_overflow"]))) > 0:
                     raise SimulationFailed("weight-cache overflow (raise TileConfig.b_max)")
+            if "neighborhood_check_mismatch" in diags:
+                mm = int(np.max(np.asarray(diags["neighborhood_check_mismatch"])))
+                if mm > 0:
+                    raise SimulationFailed(
+                        f"check_neighborhood: {mm} pair-count mismatches vs brute force"
+                    )
+
 
         self.state = new_state
+        if self.check_invariants and "split_missing_pattern" in diags:
+            self._check_split_diag(
+                int(np.max(np.asarray(diags["split_missing_pattern"]))),
+                int(np.max(np.asarray(diags["split_deferred"]))),
+            )
         self.counters.add_time("simulation-step", elapsed)  # whole chunk
         for v in np.asarray(diags["dt"]):
             self.counters.add_value("dt", float(v))
@@ -319,13 +381,43 @@ def create_simulation(
         params, scene.blocks[0].spacing, scene.blocks[0].volume_fill_ratio
     )
     state = scene_mod.init_fluid_state(scene, params, capacity)
-    masses = np.asarray(state.mass)[np.asarray(state.alive)]
-    mass_range = (float(masses.min()), float(masses.max())) if masses.size else None
-    ncfg = neighbor_config_for(params, state.capacity, row_width, mass_range=mass_range)
     boundary_handler = scene_mod.make_boundary_handler(scene, params)
 
     if backend == "auto":
         backend = "tiles" if supports_tile_backend(params) else "lists"
+
+    if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
+        params.splitting
+    ):
+        from .utils.split_patterns import load_default_patterns
+
+        split_patterns = load_default_patterns()
+
+    step_fn, ncfg, tile_cfg, grid_cfg = _compile_step(
+        params, scene, state, backend, boundary_handler, split_patterns, row_width
+    )
+    return Simulation(
+        params=params,
+        scene=scene,
+        state=state,
+        step_fn=step_fn,
+        boundary_handler=boundary_handler,
+        ncfg=ncfg,
+        counters=Counters(enabled=counters_enabled),
+        tile_cfg=tile_cfg,
+        grid_cfg=grid_cfg,
+        backend=backend,
+        split_patterns=split_patterns,
+    )
+
+
+def _compile_step(params, scene, state, backend, boundary_handler, split_patterns,
+                  row_width=None):
+    """Build the per-capacity static configs and the jitted step for `backend`."""
+    masses = np.asarray(state.mass)[np.asarray(state.alive)]
+    mass_range = (float(masses.min()), float(masses.max())) if masses.size else None
+    ncfg = neighbor_config_for(params, state.capacity, row_width, mass_range=mass_range)
+
     grid_cfg = None
     tile_cfg = None
     if backend == "grid":
@@ -338,26 +430,22 @@ def create_simulation(
         gcfg = grid_config_for(params, scene, state, state.capacity)
         tq = _tile_tq(state, params, gcfg)
         tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq)
+        # the CSR cell_starts is a prefetched SMEM operand of the sweep kernels;
+        # Mosaic caps SMEM at 1 MiB — huge grids (deep adaptive ladders over a
+        # large domain) must take the neighbor-list backend instead
+        _, total_cells = tile_cfg.cell_offsets
+        if (total_cells + 1) * 4 > 900_000:
+            import warnings
 
-    if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
-        params.splitting
-    ):
-        from .utils.split_patterns import load_default_patterns
-
-        split_patterns = load_default_patterns()
+            warnings.warn(
+                f"tile backend: grid has {total_cells} cells (> SMEM budget); "
+                "falling back to the neighbor-list backend"
+            )
+            tile_cfg = None
+            backend = "lists"
 
     step_fn = make_step_fn(
         params, ncfg, boundary_handler, split_patterns, grid_cfg=grid_cfg,
         tile_cfg=tile_cfg,
     )
-    return Simulation(
-        params=params,
-        scene=scene,
-        state=state,
-        step_fn=step_fn,
-        boundary_handler=boundary_handler,
-        ncfg=ncfg,
-        counters=Counters(enabled=counters_enabled),
-        tile_cfg=tile_cfg,
-        grid_cfg=grid_cfg,
-    )
+    return step_fn, ncfg, tile_cfg, grid_cfg

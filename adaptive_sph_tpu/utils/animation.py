@@ -56,7 +56,13 @@ def _export_one(cfg: dict, base_dir: str):
     else:
         raise ValueError("expected either 'scene' or 'scene_file'")
 
-    viz = VisualizationParams.from_dict(cfg.get("visualization_params") or {})
+    viz_dict = dict(cfg.get("visualization_params") or {})
+    # several reference media configs (e.g. media/constant-field.yaml) carry a
+    # stale top-level `visualized_attribute` key predating the reference's
+    # nested VisualizationParams schema; accept it for drop-in compatibility
+    if "visualized_attribute" in cfg and "visualized_attribute" not in viz_dict:
+        viz_dict["visualized_attribute"] = cfg["visualized_attribute"]
+    viz = VisualizationParams.from_dict(viz_dict)
     if viz.visualized_attribute == VisualizedAttribute.Distance or viz.show_flag_is_fluid_surface:
         params = params.replace(force_level_estimation=True)
     if viz.visualized_attribute in (

