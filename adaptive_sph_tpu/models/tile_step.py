@@ -232,7 +232,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             tcfg, bins, st, dyn3, pscale, tcfg.b_max, vm, params.viscosity,
             wmeta=wm,
         )
-        diag["wcache_overflow"] = wcnt[1]
+        diag["wcache_overflow"] = psum(wcnt[1])
     elif first_np_at_start:
         res = sweep(tp.prep_op(params), _stack(rho_s, vel_s[:, 0], vel_s[:, 1]), pscale)
     else:

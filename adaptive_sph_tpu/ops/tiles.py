@@ -60,6 +60,10 @@ class TileConfig:
             # ~(3 rows x 2 chunks) per tile per populated level, x2 margin, /64-group
             nt = g.capacity // tq
             b_max = max(4096, nt * 12 * len(set(g.populated)))
+            # cap the weight-cache HBM footprint (block = 64 x lane_width(tq) f32);
+            # overflow is detected at runtime and triggers capacity growth/retry
+            block_bytes = 64 * max(2 * tq, 128) * 4
+            b_max = min(b_max, max(8192, (2 << 30) // block_bytes))
         b_max = ((b_max + 63) // 64) * 64
         return cls(
             origin=g.origin, cell0=g.cell0, levels=g.levels, nx0=g.nx0, ny0=g.ny0,

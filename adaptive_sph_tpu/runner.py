@@ -51,8 +51,13 @@ class Simulation:
     def num_fluid_particles(self) -> int:
         return int(self.state.n)
 
-    def step(self):
-        """One simulation step; raises SimulationFailed on the reference's panic conditions."""
+    def step(self, _retries: int = 2):
+        """One simulation step; raises SimulationFailed on the reference's panic conditions.
+
+        Tile-backend structure overflows (row padding / weight-cache blocks) are
+        recoverable: the state has not advanced yet, so the runner grows the
+        capacity (recompiling the step) and retries — the reference's analogue
+        is its unbounded Vec::extend."""
         t0 = time.perf_counter()
         new_state, diag = self.step_fn(self.state)
         new_state = jax.block_until_ready(new_state)
@@ -63,10 +68,16 @@ class Simulation:
         diag = jax.device_get(diag)
 
         if self.check_invariants:
+            ro, co, lo = (int(x) for x in diag["neighbor_overflow"])
+            wo = int(diag.get("wcache_overflow", 0))
+            if (ro > 0 or co > 0 or wo > 0) and lo == 0 and (
+                self.backend == "tiles" and _retries > 0
+            ):
+                self.grow_capacity()
+                return self.step(_retries=_retries - 1)
             neg_aii = int(diag["negative_aii"])
             if neg_aii > 0:
                 raise SimulationFailed(f"AII should not be negative! ({neg_aii} particles)")
-            ro, co, lo = (int(x) for x in diag["neighbor_overflow"])
             if ro > 0 or co > 0 or lo > 0:
                 raise SimulationFailed(
                     f"neighbor structure overflow: rows over by {ro}, cell={co}, level={lo} "
@@ -74,9 +85,9 @@ class Simulation:
                 )
             if not np.isfinite(float(diag["dt"])):
                 raise SimulationFailed("non-finite dt")
-            if "wcache_overflow" in diag and int(diag["wcache_overflow"]) > 0:
+            if wo > 0:
                 raise SimulationFailed(
-                    f"weight-cache overflow: {int(diag['wcache_overflow'])} blocks "
+                    f"weight-cache overflow: {wo} blocks "
                     "dropped (raise TileConfig.b_max)"
                 )
             if "neighborhood_check_mismatch" in diag:
