@@ -105,7 +105,7 @@ def init_state(
         h_init = np.zeros(n, dtype=np.float32)
     else:
         h_init = np.asarray(
-            kernels.smoothing_length_from_mass(np.asarray(masses, np.float64), rest_density, dim),
+            h_from_mass_np(np.asarray(masses, np.float64), rest_density, dim),
             dtype=np.float32,
         )
 
@@ -145,6 +145,17 @@ def init_state(
         time=jnp.float32(0.0),
         step_number=jnp.int32(0),
     )
+
+
+def h_from_mass_np(mass, rest_density, dim: int = 2):
+    """Host-side h = ETA * volume_to_radius(m/rho0) (simulation.rs:376-380) in
+    pure numpy — device roundtrips cost ~1 s each through the axon tunnel."""
+    v = np.asarray(mass) / rest_density
+    if dim == 2:
+        r = np.sqrt(v / np.pi)
+    else:
+        r = (v * (3.0 / (4.0 * np.pi))) ** (1.0 / 3.0)
+    return kernels.ETA * r
 
 
 def default_capacity(n: int, adaptive: bool, headroom: float = 1.5) -> int:

@@ -213,7 +213,10 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         interpret=bool(interpret),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 32768 else None),
+        ),
     )(bins.cell_starts, wmeta, sq, sc)
     return w, (qt, an), cnt
 
@@ -327,6 +330,10 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, 8, tq), jnp.float32),
         interpret=bool(interpret),
+        # the flat value table lane-pads (C, k) to (C, 128) in VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 * 1024 * 1024 if C > 32768 else None)
+        ),
     )(cnt, meta[0], meta[1], weights, t_sorted)
     if k_out == 1:
         return out[:, 0, :].reshape(C, 1)
@@ -554,7 +561,10 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             jax.ShapeDtypeStruct((NT, 1, 8 * TQ), jnp.float32),
         ),
         interpret=bool(interpret),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 32768 else None),
+        ),
     )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
     prep_cols = jnp.swapaxes(prep.reshape(NT, 8, TQ), 1, 2).reshape(cfg.capacity, 8)
     return w, (qt, an), cnt, prep_cols

@@ -289,6 +289,14 @@ def run_sweep(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, TQ, OUT_PAD), jnp.float32),
         interpret=bool(interpret),
+        # the whole sorted table lives in VMEM. Arrays whose minor dim is a
+        # small channel count lane-pad to 128 (sq/dq/out cost ~512 B/particle
+        # each), so large scenes need a bigger scope than the 16 MiB default
+        # (v5e has 128 MiB physical VMEM). ~50k particles is the practical
+        # ceiling of the table-resident design; see PERFORMANCE.md.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 * 1024 * 1024 if C > 32768 else None)
+        ),
     )(bins.cell_starts, wmeta, sq, sc, dq, dc)
     return out.reshape(C, OUT_PAD)[:, : op.n_out]
 

@@ -250,19 +250,19 @@ def neighbor_config_for(
     )
 
 
-def _initial_max_occupancy(state, params, gcfg) -> int:
+def _initial_max_occupancy(state, params, gcfg, host=None) -> int:
     """Host-side max particles-per-cell of the initial state at the chosen ladder."""
     from .models.grid_step import max_scale
+    from .models.state import h_from_mass_np
 
-    pos = np.asarray(state.position)[np.asarray(state.alive)]
+    if host is None:
+        host = dict(zip(("mass", "position", "alive"),
+                        jax.device_get((state.mass, state.position, state.alive))))
+    pos = host["position"][host["alive"]]
     if params.particle_sizes == ParticleSizes.Uniform:
         h = np.full(len(pos), params.h, np.float32)
     else:
-        h = np.asarray(
-            kernels.smoothing_length_from_mass(
-                np.asarray(state.mass)[np.asarray(state.alive)], params.rest_density, 2
-            )
-        )
+        h = h_from_mass_np(host["mass"][host["alive"]], params.rest_density, 2)
     sr = h * max_scale(params)
     level = np.clip(
         np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int), 0, gcfg.levels - 1
@@ -278,23 +278,23 @@ def _initial_max_occupancy(state, params, gcfg) -> int:
     return occ
 
 
-def _tile_tq(state, params, gcfg) -> int:
+def _tile_tq(state, params, gcfg, host=None) -> int:
     """Pick the query-tile width: the largest of 64/32/16 whose worst-case cell-row
     padding (one partial tile per occupied row, x2 headroom for row churn) still
     fits the capacity. Larger tiles amortize per-tile kernel overhead; smaller ones
     waste less capacity on row padding (ops/tiles.py layout)."""
     from .models.grid_step import max_scale
+    from .models.state import h_from_mass_np
 
-    pos = np.asarray(state.position)[np.asarray(state.alive)]
+    if host is None:
+        host = dict(zip(("mass", "position", "alive"),
+                        jax.device_get((state.mass, state.position, state.alive))))
+    pos = host["position"][host["alive"]]
     n = len(pos)
     if params.particle_sizes == ParticleSizes.Uniform:
         h = np.full(n, params.h, np.float32)
     else:
-        h = np.asarray(
-            kernels.smoothing_length_from_mass(
-                np.asarray(state.mass)[np.asarray(state.alive)], params.rest_density, 2
-            )
-        )
+        h = h_from_mass_np(host["mass"][host["alive"]], params.rest_density, 2)
     sr = h * max_scale(params)
     level = np.clip(
         np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int),
@@ -314,18 +314,22 @@ def _tile_tq(state, params, gcfg) -> int:
 
 def grid_config_for(
     params: SimulationParams, scene: scene_mod.SceneConfig, state, capacity: int,
-    mpc: Optional[int] = None,
+    mpc: Optional[int] = None, host=None,
 ):
     """Static grid geometry from the scene box and the expected h range."""
     from .models.grid_step import max_scale
+    from .models.state import h_from_mass_np
     from .ops.grid import make_grid_config
 
+    if host is None:
+        host = dict(zip(("mass", "position", "alive"),
+                        jax.device_get((state.mass, state.position, state.alive))))
     if params.particle_sizes == ParticleSizes.Uniform:
         h_min = h_max = params.h
     else:
-        masses = np.asarray(state.mass)[np.asarray(state.alive)]
-        h_lo = float(kernels.smoothing_length_from_mass(float(masses.min()), params.rest_density, 2))
-        h_hi = float(kernels.smoothing_length_from_mass(float(masses.max()), params.rest_density, 2))
+        masses = host["mass"][host["alive"]]
+        h_lo = float(h_from_mass_np(float(masses.min()), params.rest_density, 2))
+        h_hi = float(h_from_mass_np(float(masses.max()), params.rest_density, 2))
         if params.splitting or params.merging or params.sharing:
             # resampling keeps masses within the classification band around the sizing
             # targets (adaptivity/mod.rs:24-27); widen by the band plus safety
@@ -341,7 +345,7 @@ def grid_config_for(
     )
     if mpc is None:
         # size slots to the scene: initial max occupancy x compression headroom
-        occ = _initial_max_occupancy(state, params, gcfg)
+        occ = _initial_max_occupancy(state, params, gcfg, host=host)
         floor = 32 if (params.splitting or params.merging or params.sharing) else 16
         mpc = max(floor, int(np.ceil(occ * 2.5 / 8.0) * 8))
     import dataclasses as _dc
@@ -354,10 +358,10 @@ def grid_config_for(
         # masses never change: only the levels of the initial h values can be
         # populated — restrict the pair blocks (e.g. the 50:1 stress test uses
         # exactly two levels instead of all seven)
-        masses = np.asarray(state.mass)[np.asarray(state.alive)]
-        hs = np.unique(
-            np.asarray(kernels.smoothing_length_from_mass(masses, params.rest_density, 2))
-        )
+        masses = host["mass"][host["alive"]]
+        hs = np.unique(np.asarray(
+            h_from_mass_np(masses, params.rest_density, 2), np.float32
+        ))
         scale = max_scale(params)
         lv = np.clip(
             np.ceil(np.log2(np.maximum(hs * scale / gcfg.cell0, 1.0)) - 1e-6).astype(int),
@@ -393,6 +397,10 @@ def create_simulation(
     )
     state = scene_mod.init_fluid_state(scene, params, capacity)
     boundary_handler = scene_mod.make_boundary_handler(scene, params)
+    # ONE device->host fetch for every host-side setup decision below (each
+    # separate np.asarray is a full tunnel roundtrip, ~1 s)
+    host = dict(zip(("mass", "position", "alive"),
+                    jax.device_get((state.mass, state.position, state.alive))))
 
     if backend == "auto":
         backend = "tiles" if supports_tile_backend(params) else "lists"
@@ -405,7 +413,8 @@ def create_simulation(
         split_patterns = load_default_patterns()
 
     step_fn, ncfg, tile_cfg, grid_cfg = _compile_step(
-        params, scene, state, backend, boundary_handler, split_patterns, row_width
+        params, scene, state, backend, boundary_handler, split_patterns, row_width,
+        host=host,
     )
     return Simulation(
         params=params,
@@ -423,23 +432,26 @@ def create_simulation(
 
 
 def _compile_step(params, scene, state, backend, boundary_handler, split_patterns,
-                  row_width=None):
+                  row_width=None, host=None):
     """Build the per-capacity static configs and the jitted step for `backend`."""
-    masses = np.asarray(state.mass)[np.asarray(state.alive)]
+    if host is None:
+        host = dict(zip(("mass", "position", "alive"),
+                        jax.device_get((state.mass, state.position, state.alive))))
+    masses = host["mass"][host["alive"]]
     mass_range = (float(masses.min()), float(masses.max())) if masses.size else None
     ncfg = neighbor_config_for(params, state.capacity, row_width, mass_range=mass_range)
 
     grid_cfg = None
     tile_cfg = None
     if backend == "grid":
-        grid_cfg = grid_config_for(params, scene, state, state.capacity)
+        grid_cfg = grid_config_for(params, scene, state, state.capacity, host=host)
     elif backend == "tiles":
         from .models.grid_step import max_scale
         from .ops.tiles import TileConfig
 
         assert state.capacity % 64 == 0, "tile backend needs capacity % 64 == 0"
-        gcfg = grid_config_for(params, scene, state, state.capacity)
-        tq = _tile_tq(state, params, gcfg)
+        gcfg = grid_config_for(params, scene, state, state.capacity, host=host)
+        tq = _tile_tq(state, params, gcfg, host=host)
         tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq)
         # the CSR cell_starts is a prefetched SMEM operand of the sweep kernels;
         # Mosaic caps SMEM at 1 MiB — huge grids (deep adaptive ladders over a

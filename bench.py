@@ -6,8 +6,8 @@ tolerance 0.1% and divergence tolerance 0.01%, adaptivity off, FromMass support
 lengths, cfl 0.3, max_dt 0.003.
 
 Scene size (HONEST NOTE): updates/s scales with the particles in flight, so by
-default the bench tiles ASPH_BENCH_REPLICAS (default 4) copies of the reference
-block pattern side by side in a proportionally wider box (~47k particles at 4).
+default the bench tiles ASPH_BENCH_REPLICAS (default 1) copies of the reference
+block pattern side by side in a proportionally wider box (~24k particles at 2; the table-resident kernels cap at ~50k per chip until the channels-first layout refactor).
 ASPH_BENCH_REPLICAS=1 is the exact reference scene (11,835 particles); the JSON
 line records the replica count and particle count either way. Physics per
 replica matches the reference scenario except that the interior box walls
@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "4"))
+REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "1"))
 
 
 def build_sim(replicas: int = None):
