@@ -259,3 +259,14 @@ def test_warm_start_converges_with_fewer_iterations():
             assert not err == err or abs(err) < tol
         totals[warm] = iters
     assert totals[True] <= totals[False]
+
+
+def test_backend_differential_uniform_iisph2():
+    # covers the sorted-column reads IISPH2 uses (omega, size_class)
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.IISPH2,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_backends(params, _dam_scene(), steps=4, capacity=1024)
