@@ -90,6 +90,14 @@ def make_grid_config(
     sr_max = max_search_radius_factor * h_max * 1.0001
     levels = max(1, int(math.ceil(math.log2(max(sr_max / sr_min, 1.0)))) + 1)
     cell0 = sr_min
+    # a level whose cell already covers the whole domain serves every larger
+    # particle; ladders deeper than that only force nx0's 2^(L-1) divisibility
+    # rounding to explode the cell count (conservative h_max estimates with
+    # particle_radius_base ~0.7 would otherwise demand nx0=512 for a 2x2 box).
+    # Particles beyond the clamped top level trip the level_overflow check.
+    domain = max(box_max[0] - box_min[0], box_max[1] - box_min[1])
+    levels_cap = max(1, int(math.ceil(math.log2(max(domain / cell0, 1.0)))) + 1)
+    levels = min(levels, levels_cap)
 
     # pad by one fine cell only: window borders are handled by the shifted-slice fill
     # (shift2d pads virtually), and coordinates clip into edge cells — a coarsest-cell
