@@ -482,26 +482,25 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
     dyn_base = allsorted[:, 4:9]  # cls, target, dropped, fidx, donor
 
     def receiver_ok(d, r):
-        """r eligible as receiver of donor d (class rules)."""
+        """r eligible as receiver of donor d (class rules).
+
+        Static flags gate at trace time; the masks are pure float comparisons
+        (Mosaic cannot lower selects over python-bool leaves)."""
         rc = r["cls"]
         if mode == "merge":
-            ok = jnp.where(
-                (rc == float(SIZE_LARGE)) | (rc == float(SIZE_TOO_LARGE)),
-                False,
-                jnp.where(rc == float(SIZE_OPTIMAL),
-                          bool(params.allow_merge_with_optimal_particle), True),
-            )
+            bad = (rc == float(SIZE_LARGE)) | (rc == float(SIZE_TOO_LARGE))
+            if not params.allow_merge_with_optimal_particle:
+                bad = bad | (rc == float(SIZE_OPTIMAL))
+            ok = ~bad
             if params.allow_merge_on_size_difference:
                 ok = ok | (r["mass"] > 5.0 * d["mass"])
             return ok
-        return jnp.where(
-            rc == float(SIZE_SMALL), True,
-            jnp.where(rc == float(SIZE_TOO_SMALL),
-                      bool(params.allow_share_with_too_small_particle),
-                      jnp.where(rc == float(SIZE_OPTIMAL),
-                                bool(params.allow_share_with_optimal_particle),
-                                False)),
-        )
+        ok = rc == float(SIZE_SMALL)
+        if params.allow_share_with_too_small_particle:
+            ok = ok | (rc == float(SIZE_TOO_SMALL))
+        if params.allow_share_with_optimal_particle:
+            ok = ok | (rc == float(SIZE_OPTIMAL))
+        return ok
 
     def near_mask(q, c, ctx):
         # exact <= max_dist semantics (harness radius is strict <, so the sweep
