@@ -152,22 +152,30 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
         # output — the dominant per-window cost at n_out up to 8). Different
         # chunks share lane positions; summing them first is associative, and for
         # max-reduce the lane-wise max commutes the same way.
+        # candidates are processed TWO 64-chunks per loop iteration: the per-pair
+        # vector work is unchanged but the loop-control/scalar overhead (the
+        # dominant sweep cost, see PERFORMANCE.md) halves
+        W2 = 2 * TILE
         acc0 = tuple(
-            jnp.full((TQ, TILE), init_val, jnp.float32) for _ in range(op.n_out)
+            jnp.full((TQ, W2), init_val, jnp.float32) for _ in range(op.n_out)
         )
 
         def chunk_work(ck, lo, hi, acc):
-            cs = sc_ref[ck]  # (F, TILE)
+            ck1 = jnp.minimum(ck + 1, NC - 1)
+            cs = jnp.concatenate([sc_ref[ck], sc_ref[ck1]], axis=1)  # (F, 2*TILE)
             cx = cs[0:1, :]
             cy = cs[1:2, :]
             ch = cs[2:3, :]
             cm = cs[3:4, :]
-            cd = dc_ref[ck]  # (D, TILE)
+            cd = jnp.concatenate([dc_ref[ck], dc_ref[ck1]], axis=1)  # (D, 2*TILE)
             cch = {"x": cx, "y": cy, "h": ch, "mass": cm}
             for di, nm in enumerate(op.dyn_names):
                 cch[nm] = cd[di:di + 1, :]
 
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1) + ck * TILE
+            # col uses the UNCLAMPED second-chunk base: when ck+1 exceeds the
+            # table, those lanes read chunk NC-1 but their col >= n_padded >= hi
+            # so the range mask kills them (no double counting)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1) + ck * TILE
             h_ij = jnp.maximum(0.5 * (qh + ch), 1e-6)
             if op.mask_pos is not None:
                 mdx = mqx - cch[op.mask_pos[0]]
@@ -214,11 +222,12 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
                 hi = starts_ref[base + xhi + 1]
                 ck0 = lo // TILE
                 nck = jnp.where(hi > lo, (hi - ck0 * TILE + TILE - 1) // TILE, 0)
+                npair = (nck + 1) // 2
 
                 def ck_body(k, acc):
-                    return chunk_work(ck0 + k, lo, hi, acc)
+                    return chunk_work(ck0 + 2 * k, lo, hi, acc)
 
-                return jax.lax.fori_loop(0, nck, ck_body, acc, unroll=False)
+                return jax.lax.fori_loop(0, npair, ck_body, acc, unroll=False)
 
             return jax.lax.fori_loop(0, nrows, row_body, acc, unroll=False)
 
