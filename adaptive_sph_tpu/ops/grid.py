@@ -51,6 +51,10 @@ class GridConfig:
     # levels that can actually hold particles (static scene knowledge); pair blocks are
     # instantiated only for these
     populated: tuple = ()
+    # pre-rounding finest dims (the tile engine does not need the 2^(L-1)
+    # divisibility that the dense grid's up/downsampling requires)
+    nx_raw: int = 0
+    ny_raw: int = 0
 
     def dims(self, l: int):
         return self.ny0 >> l, self.nx0 >> l
@@ -108,8 +112,11 @@ def make_grid_config(
     ey = (box_max[1] + pad) - oy
     align = 2 ** (levels - 1)
 
+    def dim_raw(e):
+        return int(math.ceil(e / cell0)) + 1
+
     def dim(e):
-        n = int(math.ceil(e / cell0)) + 1
+        n = dim_raw(e)
         return ((n + align - 1) // align) * align
 
     if adaptive_all_levels:
@@ -117,6 +124,7 @@ def make_grid_config(
     else:
         populated = None  # caller fills from the initial mass distribution
     return GridConfig(
+        nx_raw=dim_raw(ex), ny_raw=dim_raw(ey),
         origin=(float(ox), float(oy)),
         cell0=float(cell0),
         levels=levels,

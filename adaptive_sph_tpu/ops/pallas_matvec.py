@@ -40,6 +40,8 @@ from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta
 
 NBUF = 4   # DMA pipeline depth (group-sized copies)
 GRP = 8    # weight blocks per DMA / per loop iteration (statically unrolled)
+META_SHIFT = 18  # block meta packs (tile << META_SHIFT) | anchor into one int32
+                 # (anchor < capacity <= 2^18; halves the SMEM meta footprint)
 
 
 def _lane_width(tq: int) -> int:
@@ -59,7 +61,7 @@ def _gmag(r2, h_ij):
     return jnp.where(q > 1.0e-5, mag / r, 0.0)
 
 
-def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, an_ref,
+def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, meta_ref,
                   cnt_ref, scratch, sem, *, cfg: TileConfig, scale: float, b_max: int):
     lmeta = _levels_meta(cfg)
     TQ = cfg.tq
@@ -110,8 +112,7 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, an_ref,
                 pltpu.make_async_copy(
                     scratch.at[buf], w_hbm.at[slot], sem.at[buf]
                 ).start()
-                qt_ref[slot] = t
-                an_ref[slot] = a
+                meta_ref[slot] = (t << META_SHIFT) + a
 
             return (slot + emit.astype(jnp.int32),
                     attempted + nonempty.astype(jnp.int32))
@@ -174,6 +175,7 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, qt_ref, an_ref,
 
 def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: float,
                        b_max: int, wmeta=None, interpret=None):
+    assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
     """Returns (weights (b_max, 64, 2*TQ) f32 HBM, (qt, anchor) meta, cnt (2,))."""
     assert b_max % GRP == 0, "b_max must be a multiple of the matvec DMA group"
     TQ = cfg.tq
@@ -203,12 +205,11 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    w, qt, an, cnt = pl.pallas_call(
+    w, meta, cnt = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), jnp.float32),
-            jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
@@ -218,10 +219,10 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
             vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 32768 else None),
         ),
     )(bins.cell_starts, wmeta, sq, sc)
-    return w, (qt, an), cnt
+    return w, meta, cnt
 
 
-def _matvec_kernel(cnt_ref, qt_ref, an_ref, w_hbm, t_ref, out_ref, scratch, sem,
+def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, out_ref, scratch, sem,
                    *, tq: int, k_in: int, k_out: int,
                    precision=jax.lax.Precision.HIGHEST):
     """Stream weight blocks in groups of GRP; out[qt] = sublane dots over candidates.
@@ -262,8 +263,9 @@ def _matvec_kernel(cnt_ref, qt_ref, an_ref, w_hbm, t_ref, out_ref, scratch, sem,
             e = grp * GRP + g
             e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
             valid = e < B
-            qt_e = qt_ref[e_safe]
-            an_e = an_ref[e_safe]
+            me = meta_ref[e_safe]
+            qt_e = me >> META_SHIFT
+            an_e = me & ((1 << META_SHIFT) - 1)
             switch = qt_e != cur_qt
 
             acc = jnp.where(switch, 0.0, acc)
@@ -294,11 +296,12 @@ def _matvec_kernel(cnt_ref, qt_ref, an_ref, w_hbm, t_ref, out_ref, scratch, sem,
 
     @pl.when(B > 0)
     def _():
-        jax.lax.fori_loop(0, NG, body, (acc0, qt_ref[0]), unroll=False)
+        jax.lax.fori_loop(0, NG, body, (acc0, meta_ref[0] >> META_SHIFT),
+                          unroll=False)
 
 
 def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=None):
-    """meta = (qt, anchor) from build_weight_cache.
+    """meta = packed (tile << META_SHIFT) | anchor from the builders.
 
     t_sorted: flat (C, k_in) values in SORTED order. Returns flat (C, k_out)
     (one (NT,k,tq) -> (C,k) transpose at the end when k_out > 1).
@@ -313,7 +316,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
 
     kern = functools.partial(_matvec_kernel, tq=tq, k_in=k_in, k_out=k_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # weights in HBM
@@ -334,14 +337,14 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(100 * 1024 * 1024 if C > 32768 else None)
         ),
-    )(cnt, meta[0], meta[1], weights, t_sorted)
+    )(cnt, meta, weights, t_sorted)
     if k_out == 1:
         return out[:, 0, :].reshape(C, 1)
     return jnp.swapaxes(out[:, 0:k_out, :], 1, 2).reshape(C, k_out)
 
 
 def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
-                       w_hbm, qt_ref, an_ref, cnt_ref, prep_ref, scratch, sem, *,
+                       w_hbm, meta_ref, cnt_ref, prep_ref, scratch, sem, *,
                        cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
                        viscosity: float, rest_eps: float = 1e-30):
     """Fused per-step pass: weight-cache build + the prep sums in ONE window walk.
@@ -414,8 +417,7 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                 pltpu.make_async_copy(
                     scratch.at[buf], w_hbm.at[slot], sem.at[buf]
                 ).start()
-                qt_ref[slot] = t
-                an_ref[slot] = a
+                meta_ref[slot] = (t << META_SHIFT) + a
 
             inv_m = 1.0 / jnp.maximum(cm, rest_eps)
             inv_rho = 1.0 / jnp.maximum(c_rho, rest_eps)
@@ -516,6 +518,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     tile_physics.prep_op; visc_mode in {"none", "wcsph", "laplace"}.
     """
     assert b_max % GRP == 0
+    assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
     TQ = cfg.tq
     NT = cfg.capacity // TQ
     sq = jnp.swapaxes(to_chunks(statics_sorted, TQ), 1, 2)  # (NT, F, TQ)
@@ -540,8 +543,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed block meta
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
         ),
@@ -550,12 +552,11 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    w, qt, an, cnt, prep = pl.pallas_call(
+    w, meta, cnt, prep = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), jnp.float32),
-            jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
             jax.ShapeDtypeStruct((NT, 1, 8 * TQ), jnp.float32),
@@ -567,4 +568,4 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         ),
     )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
     prep_cols = jnp.swapaxes(prep.reshape(NT, 8, TQ), 1, 2).reshape(cfg.capacity, 8)
-    return w, (qt, an), cnt, prep_cols
+    return w, meta, cnt, prep_cols

@@ -52,6 +52,10 @@ class TileConfig:
     mscale: float  # the largest radius_scale any sweep uses (binning bound)
     tq: int = 32  # query-tile width = cell-row padding granularity (16/32/64)
     b_max: int = 0  # weight-cache block capacity (0 = derive)
+    # per-level (ny, nx): the tile engine computes each level's cells
+    # geometrically, so dims need no power-of-two alignment — ceil dims keep
+    # deep adaptive ladders inside the SMEM CSR budget (empty = nx0 >> l)
+    dims_list: tuple = ()
 
     @classmethod
     def from_grid(cls, g: GridConfig, mscale: float, tq: int = 32,
@@ -60,18 +64,31 @@ class TileConfig:
             # ~(3 rows x 2 chunks) per tile per populated level, x2 margin, /64-group
             nt = g.capacity // tq
             b_max = max(4096, nt * 12 * len(set(g.populated)))
-            # cap the weight-cache HBM footprint (block = 64 x lane_width(tq) f32);
+            # cap the weight-cache HBM footprint (block = 64 x lane_width(tq) f32)
+            # and its SMEM meta (b_max int32s share the 1 MiB SMEM with the CSR);
             # overflow is detected at runtime and triggers capacity growth/retry
             block_bytes = 64 * max(2 * tq, 128) * 4
-            b_max = min(b_max, max(8192, (2 << 30) // block_bytes))
+            b_max = min(b_max, max(8192, (2 << 30) // block_bytes), 49152)
         b_max = ((b_max + 63) // 64) * 64
+        if g.nx_raw and g.ny_raw:
+            dims_list = tuple(
+                (max(1, -(-g.ny_raw // (1 << l))), max(1, -(-g.nx_raw // (1 << l))))
+                for l in range(g.levels)
+            )
+            nx0, ny0 = g.nx_raw, g.ny_raw
+        else:
+            dims_list = ()
+            nx0, ny0 = g.nx0, g.ny0
         return cls(
-            origin=g.origin, cell0=g.cell0, levels=g.levels, nx0=g.nx0, ny0=g.ny0,
+            origin=g.origin, cell0=g.cell0, levels=g.levels, nx0=nx0, ny0=ny0,
             capacity=g.capacity, populated=tuple(sorted(set(g.populated))),
             mscale=float(mscale), tq=int(tq), b_max=int(b_max),
+            dims_list=dims_list,
         )
 
     def dims(self, l: int):
+        if self.dims_list:
+            return self.dims_list[l]
         return self.ny0 >> l, self.nx0 >> l
 
     def cell(self, l: int) -> float:

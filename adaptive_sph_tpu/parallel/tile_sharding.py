@@ -125,7 +125,8 @@ def make_slab_config(params: SimulationParams, gcfg: GridConfig, state: FluidSta
     slab_w = max(edges[d + 1] - edges[d] for d in range(ndev))
     nx_loc = int(np.ceil((slab_w + 2 * halo_w) / gcfg.cell0)) + 2
     nx_loc = ((nx_loc + div - 1) // div) * div
-    gcfg_loc = dataclasses.replace(gcfg, nx0=nx_loc, capacity=c_loc)
+    gcfg_loc = dataclasses.replace(gcfg, nx0=nx_loc, capacity=c_loc,
+                                   nx_raw=0, ny_raw=0)
     tcfg = TileConfig.from_grid(gcfg_loc, mscale, tq=tq)
     return SlabConfig(
         ndev=ndev, c_dev=c_dev, strip=strip, halo_w=float(halo_w), edges=edges,

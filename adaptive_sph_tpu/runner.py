@@ -453,11 +453,17 @@ def _compile_step(params, scene, state, backend, boundary_handler, split_pattern
         gcfg = grid_config_for(params, scene, state, state.capacity, host=host)
         tq = _tile_tq(state, params, gcfg, host=host)
         tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq)
-        # the CSR cell_starts is a prefetched SMEM operand of the sweep kernels;
-        # Mosaic caps SMEM at 1 MiB — huge grids (deep adaptive ladders over a
-        # large domain) must take the neighbor-list backend instead
+        # the CSR cell_starts, the per-tile window metadata, and the packed
+        # weight-cache block meta are all prefetched SMEM operands; Mosaic caps
+        # SMEM at 1 MiB — configs beyond it take the neighbor-list backend
         _, total_cells = tile_cfg.cell_offsets
-        if (total_cells + 1) * 4 > 900_000:
+        nt = tile_cfg.capacity // tile_cfg.tq
+        smem_bytes = (
+            (total_cells + 1) * 4
+            + nt * len(tile_cfg.populated) * 4 * 4
+            + tile_cfg.b_max * 4 + 16
+        )
+        if smem_bytes > 980_000:
             import warnings
 
             warnings.warn(
