@@ -119,4 +119,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient axon-tunnel HTTP failures: one retry
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print("bench: retrying once after failure", file=sys.stderr, flush=True)
+        main()
