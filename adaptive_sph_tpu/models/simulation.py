@@ -380,3 +380,35 @@ def make_chunked_step_fn(step_fn, chunk: int):
         return jax.lax.scan(body, state, None, length=chunk)
 
     return run
+
+
+def make_two_phase_step_fns(params: SimulationParams, boundary_handler,
+                            split_patterns, tile_cfg):
+    """Physics-only step + separate adaptivity step (tile backend).
+
+    The reference's image/video exporter runs single_step_without_adaptivity,
+    emits the interpolated frames for the step window, and only then resamples
+    (animation/mod.rs:138-272) — so the census never changes inside an
+    interpolation window. Returns (physics_fn, adaptivity_fn):
+      physics_fn(state) -> (state, diag)      [diag carries "dt"]
+      adaptivity_fn(state, dt) -> (state, adiag)
+    """
+    from . import adaptivity as adapt
+    from .tile_step import single_step_tiles
+
+    @jax.jit
+    def physics_fn(state: FluidState):
+        state, dt, diag = single_step_tiles(state, params, tile_cfg, boundary_handler)
+        return state, diag
+
+    @jax.jit
+    def adaptivity_fn(state: FluidState, dt):
+        def partner_fn(st, cls, mode):
+            return adapt.find_partners_tiles(st, tile_cfg, cls, dt, params, mode)
+
+        state, adiag = adapt.single_step_adaptivity(
+            state, None, dt, params, split_patterns, partner_fn=partner_fn
+        )
+        return state, adiag
+
+    return physics_fn, adaptivity_fn

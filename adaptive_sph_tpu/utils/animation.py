@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import numpy as np
 import yaml
 
@@ -87,17 +88,40 @@ def _export_one(cfg: dict, base_dir: str):
     zoom_out = float(cfg.get("zoom_out") or 1.04)
     frames = []
 
+    # the reference defers resampling around the export window
+    # (animation/mod.rs:138-272): physics step -> interpolated frames ->
+    # adaptivity, so the census never changes inside an interpolation window.
+    # The tile backend steps in two phases to reproduce that exactly; the
+    # fallback backends keep the fused step with census-gated interpolation.
+    resampling = sim.params.splitting or sim.params.merging or sim.params.sharing
+    two_phase = None
+    if resampling and sim.tile_cfg is not None:
+        from ..models.simulation import make_two_phase_step_fns
+
+        two_phase = make_two_phase_step_fns(
+            sim.params, sim.boundary_handler, sim.split_patterns, sim.tile_cfg
+        )
+
     done = False
     while not done:
         time_before = sim.time
         n_before = int(sim.state.n)
         pos_before = np.asarray(sim.state.position)
-        diag = sim.step()  # physics + adaptivity fused; interpolation uses pre-step positions
-        # adaptivity may renumber particles (merge compaction / split extension);
-        # interpolation is only identity-safe when the census is unchanged
-        identity_stable = int(sim.state.n) == n_before and not any(
-            int(diag.get(k, 0)) for k in ("merge_or_split_count", "merges", "splits", "shares")
-        )
+        if two_phase is not None:
+            physics_fn, adaptivity_fn = two_phase
+            new_state, diag = physics_fn(sim.state)
+            diag = jax.device_get(diag)
+            sim.state = new_state
+            identity_stable = True
+        else:
+            diag = sim.step()  # fused; interpolation uses pre-step positions
+            # adaptivity may renumber particles (merge compaction / split
+            # extension); interpolation is only identity-safe when the census
+            # is unchanged within the step window
+            identity_stable = int(sim.state.n) == n_before and not any(
+                int(diag.get(k, 0))
+                for k in ("merge_or_split_count", "merges", "splits", "shares")
+            )
 
         if cfg.get("panic_on_end") and sim.time > target_time:
             raise RuntimeError(">>>>>>>>>>>> REACHED END BEFORE EXPORT <<<<<<<<<<<<")
@@ -150,6 +174,18 @@ def _export_one(cfg: dict, base_dir: str):
                 render_mod.save_png(img, os.path.join(base_dir, cfg["png_file"]))
                 done = True
                 break
+
+        if two_phase is not None and not done:
+            # resample only after the export window (animation/mod.rs:272)
+            new_state, adiag = two_phase[1](sim.state, diag["dt"])
+            adiag = jax.device_get(adiag)
+            if float(adiag.get("mass_conservation_error", 0.0)) >= 0.005:
+                raise RuntimeError("mass not conserved after adaptivity")
+            sim.state = new_state
+            if "split_missing_pattern" in adiag:
+                sim._check_split_diag(
+                    int(adiag["split_missing_pattern"]), int(adiag["split_deferred"])
+                )
 
     if cfg.get("output_stats"):
         out = os.path.join(base_dir, cfg["png_file"] + ".stat")
