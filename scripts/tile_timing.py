@@ -131,15 +131,15 @@ def main():
 
     p = jnp.ones((tcfg.capacity,), jnp.float32)
     t = scan_time(
-        lambda v, w, m0, m1, c: weight_matvec(w, (m0, m1), c, v[:, None], tcfg.tq, k_out=2),
-        p, wc, wmb[0], wmb[1], wcnt,
+        lambda v, w, m, c: weight_matvec(w, m, c, v[:, None], tcfg.tq, k_out=2),
+        p, wc, wmb, wcnt,
     )
     print(f"matvec accel (k_out=2):   {t*1000:7.3f} ms")
 
     q = jnp.ones((tcfg.capacity, 2), jnp.float32)
     t = scan_time(
-        lambda v, w, m0, m1, c: weight_matvec(w, (m0, m1), c, v, tcfg.tq, k_out=1),
-        q, wc, wmb[0], wmb[1], wcnt,
+        lambda v, w, m, c: weight_matvec(w, m, c, v, tcfg.tq, k_out=1),
+        q, wc, wmb, wcnt,
     )
     print(f"matvec div (k_out=1):     {t*1000:7.3f} ms")
 
