@@ -295,10 +295,20 @@ def split(state: FluidState, params: SimulationParams, patterns, max_splits: int
     valid_parent = too_large[parents]
     deferred = jnp.sum(too_large) - jnp.sum(valid_parent)
 
+    # children go into FREE slots (dead rows anywhere in the array) — the state
+    # order is arbitrary (the tile backend keeps it in sorted-layout order with
+    # padding holes), so "free" is mask-derived, never index-derived
+    dead = ~state.alive
+    n_free = jnp.sum(dead.astype(jnp.int32))
+    free_rank = jnp.where(dead, jnp.cumsum(dead.astype(jnp.int32)) - 1, C)
+    free_slot = (
+        jnp.full((C + 1,), C, jnp.int32).at[free_rank].set(idx, mode="drop")[:C]
+    )
+
     nch_p = jnp.where(valid_parent, nch[parents], 0)
     new_per_parent = jnp.maximum(nch_p - 1, 0)
     offsets = jnp.cumsum(new_per_parent) - new_per_parent
-    fits = state.n + offsets + new_per_parent <= C
+    fits = offsets + new_per_parent <= n_free
     ok_parent = valid_parent & fits
     deferred = deferred + jnp.sum(valid_parent & ~fits)
     nch_p = jnp.where(ok_parent, nch_p, 0)
@@ -341,7 +351,8 @@ def split(state: FluidState, params: SimulationParams, patterns, max_splits: int
     cslots = MAXC - 1
     c_idx = jnp.arange(cslots, dtype=jnp.int32)[None, :]
     child_valid = ok_parent[:, None] & (c_idx + 1 < nch_p[:, None])
-    dest = jnp.where(child_valid, state.n + offsets[:, None] + c_idx, C)
+    rank = jnp.minimum(offsets[:, None] + c_idx, C - 1)
+    dest = jnp.where(child_valid, free_slot[rank], C)
     dest_f = dest.reshape(-1)
 
     patc = pat_pos[prow][:, 1:, :]  # (S, MAXC-1, 2)
@@ -402,7 +413,11 @@ def single_step_adaptivity(state: FluidState, nb, dt,
         cls = classify(st, params)
         partner, cnt, _ = partner_fn(st, cls, "merge")
         st2 = _apply_transfer(st, partner, cnt, dt, params, "merge")
-        return compact(st2), jnp.sum(cnt > 0), jnp.int32(0), jnp.int32(0)
+        # no compaction: deleted donors become free slots in place (split fills
+        # them mask-wise); the reference's swap-to-end + truncate
+        # (particle_merging.rs:339-370) exists only because its Vecs are dense
+        return (st2.replace(n=jnp.sum(st2.alive).astype(jnp.int32)),
+                jnp.sum(cnt > 0), jnp.int32(0), jnp.int32(0))
 
     def do_split(st):
         st2, sdiag = split(st, params, split_patterns, max_splits=_max_splits(st.capacity))

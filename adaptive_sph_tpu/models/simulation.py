@@ -398,7 +398,11 @@ def make_two_phase_step_fns(params: SimulationParams, boundary_handler,
 
     @jax.jit
     def physics_fn(state: FluidState):
-        state, dt, diag = single_step_tiles(state, params, tile_cfg, boundary_handler)
+        # emit_prev_pos: the exporter interpolates frame positions across the
+        # step (animation/mod.rs:191-210); the step reorders the state (sorted
+        # emission), so it also emits start-of-step positions in the NEW order
+        state, dt, diag = single_step_tiles(state, params, tile_cfg, boundary_handler,
+                                            emit_prev_pos=True)
         return state, diag
 
     @jax.jit

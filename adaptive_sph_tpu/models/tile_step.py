@@ -53,12 +53,25 @@ def _stack(*cols):
 
 
 def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileConfig,
-                      boundary_handler, halo=None):
+                      boundary_handler, halo=None, emit_sorted=True,
+                      emit_prev_pos=False):
     """One full step on the sorted-tile backend. Returns (new_state, dt, diag).
 
     halo: optional HaloHooks (parallel/tile_sharding.py) for slab-sharded
     multi-chip execution: per-device slab origin, ghost-row refresh inside the
     solver, ownership mask for reductions/outputs, and psum/pmin collectives.
+
+    emit_sorted: the particle ORDER of the returned state is this step's sorted
+    tile layout rather than the input order. The SoA + alive-mask state design
+    makes order free (SURVEY.md section 7), so the per-step unsort row-gather —
+    the single biggest non-physics cost of round 2 (PERFORMANCE.md) — is skipped
+    entirely; the next step's sort starts from a nearly-sorted layout. Pass
+    False for consumers that need index-stable states across the step (the
+    video exporter's position interpolation, animation/mod.rs:191-210).
+
+    emit_prev_pos: adds diag["pos_prev"] = start-of-step positions in the
+    RETURNED order, so interpolation across the step stays possible when
+    emit_sorted (the exporter blends pos_prev with the new positions).
     """
     diag = {}
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
@@ -94,22 +107,44 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                                  psum(bins.level_overflow))
 
     # ONE batched row-gather sorts every field (each separate gather costs ~0.17 ms
-    # on v5e): columns [x, y, h_eff, mass | h_raw, velx, vely, omega, level, has,
-    # size_class]
+    # on v5e). With emit_sorted this is the ONLY row-gather of the step: outputs
+    # stay in sorted order and carry-through fields ride extra columns here.
     warm = bool(params.warm_start_pressure)
-    sort_cols = [pos, h_eff, state.mass, h, state.velocity, state.omega,
-                 state.level, state.has_level.astype(jnp.float32),
-                 state.size_class.astype(jnp.float32)]
+    sort_cols = []
+    col_ix = {}
+
+    def add_col(name, arr):
+        w = 1 if arr.ndim == 1 else arr.shape[1]
+        a = sum(1 if c.ndim == 1 else c.shape[1] for c in sort_cols)
+        col_ix[name] = (a, a + w)
+        sort_cols.append(arr.astype(jnp.float32) if arr.dtype != jnp.float32 else arr)
+
+    add_col("pos", pos)
+    add_col("h_eff", h_eff)
+    add_col("mass", state.mass)
+    add_col("h_raw", h)
+    add_col("vel", state.velocity)
+    add_col("omega", state.omega)
+    add_col("level", state.level)
+    add_col("has_level", state.has_level.astype(jnp.float32))
+    add_col("size_class", state.size_class.astype(jnp.float32))
     if warm:
-        sort_cols += [state.pressure, state.pressure_div]
+        add_col("pressure", state.pressure)
+        add_col("pressure_div", state.pressure_div)
+    if emit_sorted:
+        add_col("h_next", h_next)
     if halo is not None:
-        sort_cols.append(halo.owned.astype(jnp.float32))
+        add_col("owned", halo.owned.astype(jnp.float32))
     allsorted = sort_fields(bins, sort_cols)
+
+    def col(name):
+        a, b = col_ix[name]
+        return allsorted[:, a] if b - a == 1 else allsorted[:, a:b]
     st = allsorted[:, 0:4]
     wm = window_meta(tcfg, bins, st, origin=origin)
     alive_s = st[:, 2] > 0.0
     if halo is not None:
-        owned_s = allsorted[:, -1] > 0.5
+        owned_s = col("owned") > 0.5
         refresh = halo.make_refresher(bins)
     else:
         owned_s = alive_s
@@ -117,8 +152,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     pos_s = st[:, 0:2]
     h_s = st[:, 2]
     mass_s = st[:, 3]
-    h_raw_s = allsorted[:, 4]
-    vel_s = allsorted[:, 5:7]
+    h_raw_s = col("h_raw")
+    vel_s = col("vel")
 
     pscale = float(physics_scale(params))
     ext_scale = float(params.level_estimation_range / kernels.ETA)
@@ -137,8 +172,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     lam_s = jnp.where(alive_s, lam, 0.0) if lam is not None else jnp.zeros_like(h_s)
 
     # 3. level estimation (pre-advection; simulation.rs:2018-2058)
-    level_s = allsorted[:, 8]
-    has_s = allsorted[:, 9] > 0.5
+    level_s = col("level")
+    has_s = col("has_level") > 0.5
     surf_s = insuf_s = stash_s = None
     do_levels = params.level_estimation_active()
     if do_levels and not params.level_estimation_after_advection:
@@ -298,8 +333,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                 s = s / jnp.maximum(rho_s, 1e-30)
             return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
 
-    p_prev_s = allsorted[:, 11] if warm else None
-    pdiv_prev_s = allsorted[:, 12] if warm else None
+    p_prev_s = col("pressure") if warm else None
+    pdiv_prev_s = col("pressure_div") if warm else None
 
     def jacobi(src, tol, rtype, p0=None):
         return tp.tile_jacobi(
@@ -322,7 +357,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
         return -(params.rest_density - rho_s) / (next_rho * dt * dt)
 
-    omega_s = jnp.where(alive_s, allsorted[:, 7], 1.0)
+    omega_s = jnp.where(alive_s, col("omega"), 1.0)
     pos2_s = pos_s
     vel2_s = vel_s
     pdiv_s = None
@@ -338,7 +373,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             omega_neigh = 1.0 + H_i / (3.0 * rr) * sum_term
             self_term = mass_s * kernels.kernel_dw_dH(jnp.zeros_like(H_i), H_i, dim=2)
             omega_large = 1.0 + H_i / (3.0 * rr) * self_term
-            size_class_s = allsorted[:, 10]
+            size_class_s = col("size_class")
             omega_s = jnp.clip(
                 jnp.where(size_class_s == float(SIZE_LARGE), omega_large, omega_neigh),
                 0.125, 2.5,
@@ -423,6 +458,69 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             pscale,
         )
         sm_s = sm[:, 0] / jnp.maximum(sm[:, 1], 1e-30)
+
+    if emit_sorted:
+        # no unsort at all: the returned state IS the sorted layout. Occupied
+        # rows (alive particles placed by the sort) form the new alive mask;
+        # row padding and sort-overflow drops read zeros/fills. Gated-off
+        # diagnostic fields (constant_field, stash, neighbor_count, flags) emit
+        # their fill instead of carrying stale values — they are only ever
+        # consumed by visualizations whose configs force them on.
+        def msk(v, fill=0.0):
+            if v.ndim == 1:
+                return jnp.where(alive_s, v, fill)
+            return jnp.where(alive_s[:, None], v, fill)
+
+        zeros_s = jnp.zeros_like(rho_s)
+        if do_levels:
+            level_out = msk(sm_s)
+            has_out = alive_s
+            level_old_out = level_out
+        else:
+            level_out = msk(level_s)
+            has_out = has_s & alive_s
+            level_old_out = level_out
+        if surf_s is not None:
+            surf_out = surf_s & alive_s
+            insuf_out = insuf_s & alive_s
+        else:
+            surf_out = jnp.zeros_like(alive_s)
+            insuf_out = jnp.zeros_like(alive_s)
+        new_state = state.replace(
+            mass=msk(mass_s),
+            position=msk(pos2_s),
+            velocity=msk(vel2_s),
+            pressure=msk(pressure_s),
+            pressure_div=(msk(pdiv_s) if pdiv_s is not None
+                          else (msk(pdiv_prev_s) if warm else zeros_s)),
+            stash=msk(stash_s) if stash_s is not None else zeros_s,
+            pressure_accel=msk(accel_sv),
+            ppe_source_term=msk(src_s),
+            density_error=msk(derr_s),
+            omega=msk(omega_s, 1.0),
+            density=msk(rho_s, 1.0),
+            aii=msk(aii_s),
+            constant_field=msk(cf_s) if cf_s is not None else zeros_s,
+            h=msk(h_raw_s),
+            h_next=msk(hn_s) if hn_s is not None else msk(col("h_next")),
+            level=level_out,
+            has_level=has_out,
+            level_old=level_old_out,
+            size_class=msk(col("size_class")).astype(jnp.int32),
+            neighbor_count=(msk(ncount_s).astype(jnp.int32) if ncount_s is not None
+                            else jnp.zeros_like(alive_s, jnp.int32)),
+            flag_is_fluid_surface=surf_out,
+            flag_insufficient_neighs=insuf_out,
+            flag_neighborhood_reduced=jnp.zeros_like(alive_s),
+            alive=alive_s,
+            time=state.time + dt,
+            step_number=state.step_number + 1,
+        )
+        if emit_prev_pos:
+            diag["pos_prev"] = msk(pos_s)
+        if halo is not None:
+            diag["_owned_sorted"] = owned_s
+        return new_state, dt, diag
 
     # ONE batched row-gather restores every result to flat particle order
     cols = [pos2_s, vel2_s, pressure_s[:, None], accel_sv, src_s[:, None],

@@ -282,9 +282,9 @@ def make_slab_step_fn(params: SimulationParams, scfg: SlabConfig, boundary_handl
         )
         new_w, dt, diag = single_step_tiles(w, params, scfg.tcfg, boundary_handler,
                                             halo=halo)
-
-        # retention compaction: owned rows (this step's owners) back into c_dev slots
-        keep = owned
+        # the step emits its state in SORTED order (models/tile_step.py
+        # emit_sorted); the ownership mask in that same order rides the diag
+        keep = diag.pop("_owned_sorted") & new_w.alive
         pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
         tgt = jnp.where(keep & (pos < scfg.c_dev), pos, scfg.c_dev)
         kept = jnp.sum(keep.astype(jnp.int32))

@@ -93,9 +93,12 @@ def _export_one(cfg: dict, base_dir: str):
     # adaptivity, so the census never changes inside an interpolation window.
     # The tile backend steps in two phases to reproduce that exactly; the
     # fallback backends keep the fused step with census-gated interpolation.
+    # The tile backend also reorders particles every step (sorted emission), so
+    # video interpolation always runs through the two-phase step there, blending
+    # diag["pos_prev"] (start-of-step positions in the step's output order).
     resampling = sim.params.splitting or sim.params.merging or sim.params.sharing
     two_phase = None
-    if resampling and sim.tile_cfg is not None:
+    if sim.tile_cfg is not None and (resampling or video is not None):
         from ..models.simulation import make_two_phase_step_fns
 
         two_phase = make_two_phase_step_fns(
@@ -113,6 +116,9 @@ def _export_one(cfg: dict, base_dir: str):
             diag = jax.device_get(diag)
             sim.state = new_state
             identity_stable = True
+            # the physics step reordered the particles; its pos_prev carries the
+            # start-of-step positions in the NEW order for interpolation
+            pos_before = np.asarray(diag["pos_prev"])
         else:
             diag = sim.step()  # fused; interpolation uses pre-step positions
             # adaptivity may renumber particles (merge compaction / split

@@ -17,6 +17,14 @@ from ..models.state import FluidState
 
 def save_state(path: str, state: FluidState):
     arrays = {f.name: np.asarray(getattr(state, f.name)) for f in dataclasses.fields(state)}
+    # compact alive rows to the front host-side: the runtime state order is
+    # arbitrary (the tile backend keeps its sorted layout with padding holes),
+    # but load_state's capacity-shrink truncates by index
+    alive = arrays["alive"]
+    order = np.argsort(np.where(alive, np.arange(len(alive)), len(alive) + np.arange(len(alive))), kind="stable")
+    for k, a in arrays.items():
+        if a.ndim >= 1 and a.shape[0] == len(alive):
+            arrays[k] = a[order]
     np.savez_compressed(path, **arrays)
 
 

@@ -56,13 +56,20 @@ def test_sharded_step_matches_single_device():
     step = make_sharded_step_fn(sim.params, sim.ncfg, sim.boundary_handler, mesh)
     sharded, _ = jax.block_until_ready(step(sharded_in))
 
-    alive = np.asarray(single.alive)
+    # the single-device tile step emits sorted-layout order while the GSPMD
+    # list step keeps input order — match particles by position (unambiguous:
+    # lattice spacing >> tolerance)
+    from scipy.spatial import cKDTree
+
+    pa = np.asarray(single.position)[np.asarray(single.alive)]
+    pb = np.asarray(sharded.position)[np.asarray(sharded.alive)]
+    assert len(pa) == len(pb)
+    d, j = cKDTree(pb).query(pa, k=1)
+    assert (np.sort(j) == np.arange(len(pb))).all()
+    np.testing.assert_allclose(pa, pb[j], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(single.position)[alive], np.asarray(sharded.position)[alive],
-        rtol=1e-4, atol=1e-6,
-    )
-    np.testing.assert_allclose(
-        np.asarray(single.density)[alive], np.asarray(sharded.density)[alive],
+        np.asarray(single.density)[np.asarray(single.alive)],
+        np.asarray(sharded.density)[np.asarray(sharded.alive)][j],
         rtol=1e-4, atol=1e-6,
     )
 

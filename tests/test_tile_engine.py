@@ -166,16 +166,25 @@ def _diff_backends(params, scene, steps, capacity=None):
             sim.step()
         out[backend] = sim.state
     a, b = out["tiles"], out["grid"]
-    al = np.asarray(a.alive)
+    # the tile backend emits its state in sorted-layout order (an explicit
+    # contract: SoA + alive mask make order arbitrary), so the comparison
+    # matches particles by position — unambiguous at lattice spacing >> atol
+    pa = np.asarray(a.position)[np.asarray(a.alive)]
+    pb = np.asarray(b.position)[np.asarray(b.alive)]
     assert int(a.n) == int(b.n)
+    assert len(pa) == len(pb)
+    from scipy.spatial import cKDTree
+
+    d, j = cKDTree(pb).query(pa, k=1)
+    assert (np.sort(j) == np.arange(len(pb))).all(), "position match not a bijection"
+    np.testing.assert_allclose(pa, pb[j], atol=2e-5)
     np.testing.assert_allclose(
-        np.asarray(a.position)[al], np.asarray(b.position)[al], atol=2e-5
+        np.asarray(a.density)[np.asarray(a.alive)],
+        np.asarray(b.density)[np.asarray(b.alive)][j], rtol=2e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(a.density)[al], np.asarray(b.density)[al], rtol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(a.velocity)[al], np.asarray(b.velocity)[al], atol=2e-4
+        np.asarray(a.velocity)[np.asarray(a.alive)],
+        np.asarray(b.velocity)[np.asarray(b.alive)][j], atol=2e-4,
     )
 
 
