@@ -151,6 +151,27 @@ def div_op(w2020: bool):
     return SweepOp(name="div", n_out=1, dyn_names=("rho", "qx", "qy"), emit=emit)
 
 
+def check_aii_op(w2020: bool):
+    """Brute-force a_ii fluid divergence for check_aii (simulation.rs:1324-1375).
+
+    Per pair: the unit-pressure field p = delta_i gives neighbor j the accel
+    (m_i / rho_i^2) grad W_ij; the probe divergence at i sums
+    w_j * (acc_j - acc_i) . grad W_ij with acc_i = q[ax, ay] (the self accel
+    including boundary, computed elementwise by the caller). The self pair
+    contributes zero because grad W(0) = 0 — matching the reference's explicit
+    i == j branch."""
+
+    def emit(q, c, ctx):
+        coef = q["mass"] / jnp.maximum(q["rho"] * q["rho"], 1e-30)
+        dax = coef * ctx.gx - q["ax"]
+        day = coef * ctx.gy - q["ay"]
+        d = dax * ctx.gx + day * ctx.gy
+        m = c["mass"] / jnp.maximum(c["rho"], 1e-30) if w2020 else c["mass"]
+        return [m * d]
+
+    return SweepOp(name="check_aii", n_out=1, dyn_names=("rho", "ax", "ay"), emit=emit)
+
+
 def omega_op():
     """IISPH2 Omega neighbor sum (simulation.rs:2262-2311)."""
     srbs = kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
@@ -198,6 +219,19 @@ def cone_op(params: SimulationParams):
 
     return SweepOp(name="cone", n_out=1, dyn_names=("unx", "uny"), emit=emit,
                    reduce="max", fill=0.0)
+
+
+def centerdiff_op(params: SimulationParams):
+    """CenterDiff surface-detection sums (simulation.rs:630-695, Horvath 2013):
+    [sum V_j W, sum V_j W x_j, sum V_j W y_j, sum V_j W r_j]."""
+
+    def emit(q, c, ctx):
+        vol_j = c["mass"] / params.rest_density
+        r_j = kernels.sphere_volume_to_radius(vol_j, dim=2)
+        wv = ctx.w * vol_j
+        return [wv, wv * c["x"], wv * c["y"], wv * r_j]
+
+    return SweepOp(name="centerdiff", n_out=4, emit=emit)
 
 
 def wavefront_op(params: SimulationParams):

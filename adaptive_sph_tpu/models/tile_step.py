@@ -39,11 +39,17 @@ from .state import FluidState
 
 
 def supports_tile_backend(params: SimulationParams) -> bool:
-    if params.constrain_neighborhood_count or params.check_aii:
+    """check_aii and post-advection/CenterDiff levels run ON the tile engine
+    (an extra SweepOp / a rebuilt layout at the advected positions); the only
+    configs still served by the list backend are the exact neighborhood-count
+    constraint and the rare stale-pair-set post-advection combination."""
+    if params.constrain_neighborhood_count:
         return False
-    if params.level_estimation_active() and params.level_estimation_after_advection:
-        # post-advection surface detection (incl. CenterDiff, which needs
-        # densities — simulation.rs:2021/2678-2707) runs on the list backend
+    if (params.level_estimation_active()
+            and params.level_estimation_after_advection
+            and not params.use_extended_range_for_level_estimation):
+        # post-advection estimation over the STALE pre-advection pair set
+        # (simulation.rs:2678: no rebuild when extended range is off)
         return False
     return True
 
@@ -288,12 +294,36 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     aii_s = jnp.where(alive_s, aii_s, 0.0)
     diag["negative_aii"] = psum(jnp.sum(owned_s & (aii_s < 0.0)))
 
+    w2020 = params.operator_discretization == OperatorDiscretization.Winchenbach2020
+    if params.check_aii:
+        # brute-force a_ii verification ON the production engine
+        # (simulation.rs:1324-1375): one extra SweepOp instead of falling back
+        # to the list backend. acc_self = accel of the unit self pressure.
+        rr2 = jnp.maximum(rho_s * rho_s, 1e-30)
+        bacc_unit = gp.boundary_accel_slots(
+            G_s, jnp.ones_like(rho_s), rho_s, bt.kind, params
+        )
+        acc_self = -sums["mj_wij"] / rr2[:, None] + bacc_unit
+        fluid_div = sweep(
+            tp.check_aii_op(w2020),
+            _stack(rho_s, acc_self[:, 0], acc_self[:, 1]),
+            pscale,
+        )[:, 0]
+        if not w2020:
+            fluid_div = fluid_div / jnp.maximum(rho_s, 1e-30)
+        zero2 = jnp.zeros(2, jnp.float32)
+        aii_real = fluid_div + gp.boundary_div_slots(
+            G_s, acc_self, zero2, rho_s, bt.kind, params
+        )
+        diag["aii_deviation"] = pmax(
+            jnp.max(jnp.where(owned_s & alive_s, jnp.abs(aii_real - aii_s), 0.0))
+        )
+
     # 13. pressure solve + integrate (simulation.rs:2261-2671), sorted space.
     # The PPE operator's pair weights w_ij = m_j grad W_ij depend only on this
     # step's frozen geometry, so they are cached ONCE (ops/pallas_matvec.py) and
     # every Jacobi sweep becomes diag terms + two streamed matvecs; the diagonal
     # gradient sums S1/S2 come from the fused prep sweep above.
-    w2020 = params.operator_discretization == OperatorDiscretization.Winchenbach2020
     zero_q = jnp.zeros(2, jnp.float32)
     if use_wcache:
         from ..ops.pallas_matvec import weight_matvec
@@ -444,10 +474,63 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         src_s, derr_s = src2, res_den.density_error
         pdiv_s = res_div.pressure if warm else None
 
-    # 15. level-field smoothing (simulation.rs:2709-2722): advected positions over the
-    # stale pre-advection pair set
+    # 14. optional post-advection level estimation (simulation.rs:2678-2707):
+    # rebuild the tile layout at the ADVECTED positions at the extended radius;
+    # detection, propagation and the final smoothing all run over the rebuilt
+    # pair set like the reference, then map back to the step layout.
     sm_s = None
-    if do_levels:
+    if do_levels and params.level_estimation_after_advection:
+        assert params.use_extended_range_for_level_estimation, (
+            "post-advection level estimation over the stale pair set stays on "
+            "the list backend (supports_tile_backend)")
+        assert halo is None, "slab-sharded step gates out post-advection levels"
+        h_eff_s = st[:, 2]
+        bins2 = build_tiles(pos2_s, h_eff_s * jnp.float32(tcfg.mscale), h_eff_s,
+                            alive_s, tcfg, origin=origin)
+        ro0, co0, lo0 = diag["neighbor_overflow"]
+        diag["neighbor_overflow"] = (ro0 + bins2.overflow, co0,
+                                     lo0 + bins2.level_overflow)
+        cols2 = sort_fields(bins2, [pos2_s, h_eff_s, mass_s, h_raw_s, rho_s])
+        st2 = cols2[:, 0:4]
+        wm2 = window_meta(tcfg, bins2, st2, origin=origin)
+        alive2 = st2[:, 2] > 0.0
+        h_raw2 = cols2[:, 4]
+        rho2 = cols2[:, 5]
+
+        def sweep2(op, dyn, scale):
+            return run_sweep(tcfg, bins2, st2, dyn, op, scale, wmeta=wm2)
+
+        bt2 = boundary_handler.update_after_advect(
+            st2[:, 0:2], jnp.maximum(h_raw2, 1e-6), params
+        )
+        dist_b2 = bnd.distance_to_boundary(bt2)
+        level2, has2, surf2, insuf2, stash2 = _level_estimation(
+            tcfg, bins2, st2, wm2, sweep2, ext_scale, dist_b2, h_raw2, alive2,
+            params,
+        )
+        # 15. smoothing over the same rebuilt pair set (simulation.rs:2709-2722
+        # reads the just-rebuilt lists when after_advection)
+        max_depth = -params.maximum_surface_distance
+        dist2 = jnp.where(has2, jnp.maximum(level2, max_depth), max_depth)
+        sm2 = sweep2(
+            tp.smooth_op(),
+            _stack(rho2, dist2, st2[:, 0], st2[:, 1]),
+            ext_scale,
+        )
+        sm2_s = sm2[:, 0] / jnp.maximum(sm2[:, 1], 1e-30)
+        back_cols = [sm2_s, surf2.astype(jnp.float32), insuf2.astype(jnp.float32)]
+        if stash2 is not None:
+            back_cols.append(stash2)
+        back = unsort(bins2, jnp.stack(back_cols, axis=1), None, 0.0)
+        sm_s = back[:, 0]
+        surf_s = back[:, 1] > 0.5
+        insuf_s = back[:, 2] > 0.5
+        if stash2 is not None:
+            stash_s = back[:, 3]
+        has_s = jnp.ones_like(alive_s)
+    elif do_levels:
+        # 15. level-field smoothing (simulation.rs:2709-2722): advected
+        # positions over the stale pre-advection pair set
         max_depth = -params.maximum_surface_distance
         dist_s = jnp.where(has_s, jnp.maximum(level_s, max_depth), max_depth)
         dp = refresh(jnp.concatenate([dist_s[:, None], pos2_s], axis=1))
@@ -611,25 +694,46 @@ def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, ali
 
     refresh/psum: slab-sharding hooks — ghost rows pull owner values before each
     wavefront sweep and the fixpoint test is a global reduction."""
-    count = sweep(tp.COUNT_OP, None, ext_scale)[:, 0]
-    nrm = sweep(tp.normal_op(params), None, ext_scale)
-    norm2 = jnp.sum(nrm * nrm, axis=1)
-    unit = nrm / jnp.sqrt(jnp.maximum(norm2, 1e-30))[:, None]
-    cone = sweep(tp.cone_op(params), _stack(unit[:, 0], unit[:, 1]), ext_scale)[:, 0] > 0.5
+    if params.level_estimation_method == LevelEstimationMethod.CenterDiff:
+        # CenterDiff detector (simulation.rs:630-695): phi = |x - avg_center| -
+        # avg_radius over volume-weighted neighbor sums
+        cd = sweep(tp.centerdiff_op(params), None, ext_scale)
+        count = sweep(tp.COUNT_OP, None, ext_scale)[:, 0]
+        w_sum = jnp.maximum(cd[:, 0], 1e-30)
+        avg_radius = cd[:, 3] / w_sum
+        surface_level = -0.85 * avg_radius
+        acx = cd[:, 1] / w_sum
+        acy = cd[:, 2] / w_sum
+        phi_init = jnp.sqrt(
+            (st[:, 0] - acx) ** 2 + (st[:, 1] - acy) ** 2
+        ) - avg_radius
+        phi = jnp.where(count < 5, surface_level, phi_init)
+        is_surface = (phi >= surface_level) & alive_s
+        is_surface = refresh(is_surface.astype(jnp.float32)[:, None])[:, 0] > 0.5
+        level = jnp.where(is_surface, phi, 0.0)
+        level = refresh(level[:, None])[:, 0]
+        has = is_surface
+        flag_insufficient = jnp.zeros_like(is_surface)
+    else:
+        count = sweep(tp.COUNT_OP, None, ext_scale)[:, 0]
+        nrm = sweep(tp.normal_op(params), None, ext_scale)
+        norm2 = jnp.sum(nrm * nrm, axis=1)
+        unit = nrm / jnp.sqrt(jnp.maximum(norm2, 1e-30))[:, None]
+        cone = sweep(tp.cone_op(params), _stack(unit[:, 0], unit[:, 1]), ext_scale)[:, 0] > 0.5
 
-    insufficient = count < (2 * 2 - 1)
-    symmetric = norm2 < 1e-5
-    near_boundary = jnp.zeros_like(symmetric)
-    if (not params.boundary_is_fluid_surface) and dist_b is not None:
-        near_boundary = dist_b < h_raw_s * 1.5
-    is_interior = jnp.where(
-        insufficient, False, jnp.where(symmetric, True, jnp.where(near_boundary, True, cone))
-    )
-    is_surface = (~is_interior) & alive_s
-    is_surface = refresh(is_surface.astype(jnp.float32)[:, None])[:, 0] > 0.5
-    level = jnp.zeros_like(h_raw_s)
-    has = is_surface
-    flag_insufficient = insufficient & alive_s
+        insufficient = count < (2 * 2 - 1)
+        symmetric = norm2 < 1e-5
+        near_boundary = jnp.zeros_like(symmetric)
+        if (not params.boundary_is_fluid_surface) and dist_b is not None:
+            near_boundary = dist_b < h_raw_s * 1.5
+        is_interior = jnp.where(
+            insufficient, False, jnp.where(symmetric, True, jnp.where(near_boundary, True, cone))
+        )
+        is_surface = (~is_interior) & alive_s
+        is_surface = refresh(is_surface.astype(jnp.float32)[:, None])[:, 0] > 0.5
+        level = jnp.zeros_like(h_raw_s)
+        has = is_surface
+        flag_insufficient = insufficient & alive_s
     max_depth = jnp.float32(-params.maximum_surface_distance)
     stash = None
     if params.fill_stash_with == FillStashWith.SurfaceDistanceFirstIteration:

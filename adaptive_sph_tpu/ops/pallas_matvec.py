@@ -195,8 +195,7 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # weights stay in HBM
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # weights stay in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
@@ -216,7 +215,7 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 32768 else None),
+            vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 16384 else None),
         ),
     )(bins.cell_starts, wmeta, sq, sc)
     return w, meta, cnt
@@ -319,7 +318,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # weights in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # weights in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # t (flat)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -335,7 +334,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         interpret=bool(interpret),
         # the flat value table lane-pads (C, k) to (C, 128) in VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(100 * 1024 * 1024 if C > 32768 else None)
+            vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
         ),
     )(cnt, meta, weights, t_sorted)
     if k_out == 1:
@@ -542,7 +541,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dyn flat
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed block meta
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
@@ -564,7 +563,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 32768 else None),
+            vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 16384 else None),
         ),
     )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
     prep_cols = jnp.swapaxes(prep.reshape(NT, 8, TQ), 1, 2).reshape(cfg.capacity, 8)

@@ -304,7 +304,7 @@ def run_sweep(
         # (v5e has 128 MiB physical VMEM). ~50k particles is the practical
         # ceiling of the table-resident design; see PERFORMANCE.md.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(112 * 1024 * 1024 if C > 32768 else None)
+            vmem_limit_bytes=(112 * 1024 * 1024 if C > 16384 else None)
         ),
     )(bins.cell_starts, wmeta, sq, sc, dq, dc)
     return out.reshape(C, OUT_PAD)[:, : op.n_out]

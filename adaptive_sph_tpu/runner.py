@@ -131,15 +131,7 @@ class Simulation:
 
         old = self.state
         new_cap = ((old.capacity * factor + 1023) // 1024) * 1024
-
-        def pad(a):
-            if not hasattr(a, "ndim") or a.ndim == 0:
-                return a
-            out = np.zeros((new_cap,) + a.shape[1:], np.asarray(a).dtype)
-            out[: a.shape[0]] = np.asarray(a)
-            return jnp.asarray(out)
-
-        self.state = jax.tree.map(pad, old)
+        self.state = pad_state_to(old, new_cap)
         self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = _compile_step(
             self.params, self.scene, self.state, self.backend,
             self.boundary_handler, self.split_patterns,
@@ -204,6 +196,10 @@ class Simulation:
                     raise SimulationFailed(
                         f"check_neighborhood: {mm} pair-count mismatches vs brute force"
                     )
+            if "aii_deviation" in diags:
+                dev = float(np.max(np.asarray(diags["aii_deviation"])))
+                if not dev < 0.01:  # f32 tolerance (simulation.rs:1369-1374)
+                    raise SimulationFailed(f"a_ii check failed: max deviation {dev}")
 
 
         self.state = new_state
@@ -217,6 +213,20 @@ class Simulation:
             self.counters.add_value("dt", float(v))
         self.counters.add_value("particle-count", float(new_state.n))
         return diags
+
+
+def pad_state_to(state: FluidState, new_cap: int) -> FluidState:
+    """Re-pad every per-particle array of `state` to `new_cap` rows (host-side)."""
+    import jax.numpy as jnp
+
+    def pad(a):
+        if not hasattr(a, "ndim") or a.ndim == 0:
+            return a
+        out = np.zeros((new_cap,) + a.shape[1:], np.asarray(a).dtype)
+        out[: a.shape[0]] = np.asarray(a)
+        return jnp.asarray(out)
+
+    return jax.tree.map(pad, state)
 
 
 def neighbor_config_for(
@@ -283,6 +293,19 @@ def _tile_tq(state, params, gcfg, host=None) -> int:
     padding (one partial tile per occupied row, x2 headroom for row churn) still
     fits the capacity. Larger tiles amortize per-tile kernel overhead; smaller ones
     waste less capacity on row padding (ops/tiles.py layout)."""
+    if host is None:
+        host = dict(zip(("mass", "position", "alive"),
+                        jax.device_get((state.mass, state.position, state.alive))))
+    n = int(np.sum(host["alive"]))
+    rows = _tile_row_count(state, params, gcfg, host=host)
+    for tq in (64, 32, 16):
+        if n + 2.0 * rows * tq <= state.capacity:
+            return tq
+    return 16
+
+
+def _tile_row_count(state, params, gcfg, host=None) -> int:
+    """Host-side count of occupied (level, cell-row) pairs of the initial state."""
     from .models.grid_step import max_scale
     from .models.state import h_from_mass_np
 
@@ -290,9 +313,8 @@ def _tile_tq(state, params, gcfg, host=None) -> int:
         host = dict(zip(("mass", "position", "alive"),
                         jax.device_get((state.mass, state.position, state.alive))))
     pos = host["position"][host["alive"]]
-    n = len(pos)
     if params.particle_sizes == ParticleSizes.Uniform:
-        h = np.full(n, params.h, np.float32)
+        h = np.full(len(pos), params.h, np.float32)
     else:
         h = h_from_mass_np(host["mass"][host["alive"]], params.rest_density, 2)
     sr = h * max_scale(params)
@@ -306,10 +328,7 @@ def _tile_tq(state, params, gcfg, host=None) -> int:
         cell = gcfg.cell(int(l))
         cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
         rows += len(np.unique(cy))
-    for tq in (64, 32, 16):
-        if n + 2.0 * rows * tq <= state.capacity:
-            return tq
-    return 16
+    return rows
 
 
 def grid_config_for(
@@ -404,6 +423,19 @@ def create_simulation(
 
     if backend == "auto":
         backend = "tiles" if supports_tile_backend(params) else "lists"
+
+    if backend == "tiles" and capacity is None:
+        # tq=64 tiles halve the window/block count of every Pallas walk (the
+        # loop-control floor dominates the sweep cost, PERFORMANCE.md) and use
+        # the full 128 weight-block lanes the tq=32 layout pads away — grow the
+        # default capacity when a modest bump lets _tile_tq pick 64
+        gcfg_probe = grid_config_for(params, scene, state, state.capacity, host=host)
+        if _tile_tq(state, params, gcfg_probe, host=host) < 64:
+            n_alive = int(np.sum(host["alive"]))
+            rows = _tile_row_count(state, params, gcfg_probe, host=host)
+            cap64 = ((int(n_alive + 2.0 * rows * 64) + 1023) // 1024) * 1024
+            if state.capacity < cap64 <= 2 * state.capacity:
+                state = pad_state_to(state, cap64)
 
     if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
         params.splitting

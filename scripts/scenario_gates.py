@@ -7,14 +7,17 @@ Scenarios (reference configs):
   stress   — ratio stress test (50:1 radii, configs/media/ratio-stress-test.yaml),
              run to t >= 0.25 s
   onlydiv  — divergence-only solver (media/only-divergence-free.yaml config),
-             run to t >= 2.0 s
+             run to t >= 20 s with full resampling
+  resampling — media/resampling-gravity-free.yaml (Hybrid c=150 entry),
+             gravity-free merge/share/split churn to t >= 0.4 s
 
-For each: every step's avg density/divergence error must satisfy the configured
-tolerance (the reference's solver contract), mass must be conserved, and all
-particles must stay inside the boundary box (+margin). Writes a summary to
-stdout and PARITY_RUNS.json.
+For each: every step's avg density error must satisfy the configured tolerance
+and every divergence solve must satisfy |avg| < tol/dt (simulation.rs:1453-1469,
+the reference's solver contract), mass must be conserved, and all particles must
+stay inside the boundary box (+margin). Writes a summary to stdout and merges
+it into PARITY_RUNS.json.
 
-Usage: python scripts/scenario_gates.py [dam stress onlydiv] [--t-scale 1.0]
+Usage: python scripts/scenario_gates.py [dam stress onlydiv resampling] [--t-scale 1.0]
 """
 
 import argparse
@@ -49,20 +52,40 @@ def run_scenario(name, t_end, chunk=64):
         tol_den = params.hybrid_dfsph_max_avg_density_error
         tol_div = params.hybrid_dfsph_max_avg_divergence_error
     elif name == "onlydiv":
+        # media/only-divergence-free.yaml update_attributes, verbatim
         params = load_params(
             os.path.join(root, "configs/default-config.yaml"),
             update_attributes={
                 "pressure_solver_method": "OnlyDivergence",
                 "max_dt": 0.006, "viscosity_type": "ApproxLaplace",
                 "viscosity": 0.001, "cfl_factor": 0.4,
+                "hybrid_dfsph_factor": 20,
                 "hybrid_dfsph_max_avg_divergence_error": 0.0001,
                 "merging": True, "splitting": True, "sharing": True,
                 "sizing_function": "Mass", "maximum_surface_distance": 2.0,
                 "particle_radius_base": 0.06, "particle_radius_fine": 0.003,
+                "boundary_is_fluid_surface": False,
             },
         )
         scene = scene_mod.load_scene(os.path.join(root, "configs/default-scene.yaml"))
         tol_den = None
+        tol_div = params.hybrid_dfsph_max_avg_divergence_error
+    elif name == "resampling":
+        # media/resampling-gravity-free.yaml "After resampling (Hybrid DFSPH
+        # c=150)" entry: full merge/share/split churn, gravity-free
+        params = load_params(
+            os.path.join(root, "configs/default-config.yaml"),
+            update_attributes={
+                "merging": True, "sharing": True, "splitting": True,
+                "gravity": 0.0, "hybrid_dfsph_factor": 150,
+                "init_boundary_handler": "AnalyticUnderestimate",
+                "max_dt": 0.002,
+            },
+        )
+        scene = scene_mod.load_scene(
+            os.path.join(root, "configs/media/resampling-gravity-free-scene.yaml")
+        )
+        tol_den = params.hybrid_dfsph_max_avg_density_error
         tol_div = params.hybrid_dfsph_max_avg_divergence_error
     else:
         raise ValueError(name)
@@ -90,19 +113,27 @@ def run_scenario(name, t_end, chunk=64):
             dlist = {k: np.atleast_1d(np.asarray(v)) for k, v in dlist.items()
                      if not isinstance(v, tuple)}
         steps += len(np.atleast_1d(dlist["dt"]))
-        for k, store, tol, vkey in (
-            ("density_avg_error", den_errs, tol_den, "den"),
-            ("div_avg_error", div_errs, tol_div, "div"),
-        ):
-            if k in dlist:
-                vals = np.abs(np.asarray(dlist[k], np.float64))
-                vals = vals[~np.isnan(vals)]
-                if len(vals):
-                    store.append(vals.max())
-                    if tol is not None:
-                        ref = params.rest_density if vkey == "den" else None
-                        if vkey == "den":
-                            viol["den"] += int((vals / params.rest_density > tol * 1.0001).sum())
+        dt_arr = np.atleast_1d(np.asarray(dlist["dt"], np.float64))
+        if "density_avg_error" in dlist:
+            vals = np.abs(np.asarray(dlist["density_avg_error"], np.float64))
+            m = ~np.isnan(vals)
+            if m.any():
+                den_errs.append(vals[m].max())
+                if tol_den is not None:
+                    viol["den"] += int(
+                        (vals[m] / params.rest_density > tol_den * 1.0001).sum()
+                    )
+        if "div_avg_error" in dlist:
+            vals = np.abs(np.asarray(dlist["div_avg_error"], np.float64))
+            m = ~np.isnan(vals)
+            if m.any():
+                div_errs.append((vals[m] * dt_arr[m]).max())
+                if tol_div is not None:
+                    # reference contract: |avg| < tol / dt per divergence solve
+                    # (simulation.rs:1462-1469) — compare err*dt against tol
+                    viol["div"] += int(
+                        (vals[m] * dt_arr[m] > tol_div * 1.0001).sum()
+                    )
         for k, store in (("density_iterations", den_iters), ("div_iterations", div_iters)):
             if k in dlist:
                 store.extend(np.atleast_1d(np.asarray(dlist[k])).tolist())
@@ -124,8 +155,9 @@ def run_scenario(name, t_end, chunk=64):
         "max_avg_density_error_rel": (max(den_errs) / params.rest_density) if den_errs else None,
         "tol_density": tol_den,
         "density_tol_violations": viol["den"],
-        "max_avg_div_error": max(div_errs) if div_errs else None,
+        "max_avg_div_error_times_dt": max(div_errs) if div_errs else None,
         "tol_divergence": tol_div,
+        "div_tol_violations": viol["div"],
         "avg_density_iters": float(np.mean(den_iters)) if den_iters else None,
         "avg_div_iters": float(np.mean(div_iters)) if div_iters else None,
         "avg_dt": float(np.mean(dts)),
@@ -133,7 +165,8 @@ def run_scenario(name, t_end, chunk=64):
         "ms_per_step": wall / max(steps, 1) * 1000,
     }
     print(json.dumps(out, indent=1), flush=True)
-    ok = contained and out["mass_drift"] < 1e-3 and viol["den"] == 0
+    ok = (contained and out["mass_drift"] < 1e-3 and viol["den"] == 0
+          and viol["div"] == 0)
     return out, ok
 
 
@@ -142,7 +175,7 @@ def main():
     ap.add_argument("scenarios", nargs="*", default=["dam", "stress"])
     ap.add_argument("--t-scale", type=float, default=1.0)
     args = ap.parse_args()
-    targets = {"dam": 1.0, "stress": 0.25, "onlydiv": 2.0}
+    targets = {"dam": 1.0, "stress": 0.25, "onlydiv": 20.0, "resampling": 0.4}
     results = {}
     all_ok = True
     for name in (args.scenarios or ["dam", "stress"]):
@@ -151,8 +184,14 @@ def main():
         all_ok = all_ok and ok
         print(f"{name}: {'PASS' if ok else 'FAIL'}", flush=True)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PARITY_RUNS.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    path = os.path.join(root, "PARITY_RUNS.json")
+    merged = {}
+    if os.path.exists(path):  # keep results of scenarios not re-run this time
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     sys.exit(0 if all_ok else 1)
 
 

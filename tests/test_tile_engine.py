@@ -270,6 +270,79 @@ def test_warm_start_converges_with_fewer_iterations():
     assert totals[True] <= totals[False]
 
 
+def _diff_vs_lists(params, scene, steps, capacity=None, check_levels=False):
+    """Tile backend vs the neighbor-list reference backend, matched by position."""
+    from scipy.spatial import cKDTree
+
+    out = {}
+    for backend in ("tiles", "lists"):
+        sim = create_simulation(params, scene, capacity=capacity, backend=backend)
+        assert (sim.tile_cfg is not None) == (backend == "tiles"), backend
+        for _ in range(steps):
+            sim.step()
+        out[backend] = sim.state
+    a, b = out["tiles"], out["lists"]
+    aa, ba = np.asarray(a.alive), np.asarray(b.alive)
+    pa = np.asarray(a.position)[aa]
+    pb = np.asarray(b.position)[ba]
+    assert len(pa) == len(pb)
+    d, j = cKDTree(pb).query(pa, k=1)
+    assert (np.sort(j) == np.arange(len(pb))).all()
+    np.testing.assert_allclose(pa, pb[j], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.density)[aa], np.asarray(b.density)[ba][j], rtol=2e-5
+    )
+    if check_levels:
+        np.testing.assert_array_equal(
+            np.asarray(a.flag_is_fluid_surface)[aa],
+            np.asarray(b.flag_is_fluid_surface)[ba][j],
+        )
+        la = np.asarray(a.level)[aa]
+        lb = np.asarray(b.level)[ba][j]
+        np.testing.assert_allclose(la, lb, atol=5e-4)
+
+
+def test_tile_check_aii_runs_on_tile_backend():
+    # check_aii no longer gates out the tile engine: the brute-force a_ii
+    # verification runs as one extra SweepOp and the deviation guard holds
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+        check_aii=True,
+    )
+    sim = create_simulation(params, _dam_scene(), capacity=1024, backend="auto")
+    assert sim.backend == "tiles" and sim.tile_cfg is not None
+    for _ in range(3):
+        d = sim.step()  # raises SimulationFailed if deviation >= 0.01
+        assert float(d["aii_deviation"]) < 0.01
+
+
+def test_tile_post_advection_empty_angle_matches_lists():
+    # post-advection level estimation rebuilds the tile layout at the advected
+    # positions (simulation.rs:2678-2707) instead of falling back to lists
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Adaptive,
+        level_estimation_method=LevelEstimationMethod.EmptyAngle,
+        level_estimation_after_advection=True,
+        force_level_estimation=True,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_vs_lists(params, _dam_scene(spacing2=0.08), steps=3, check_levels=True)
+
+
+def test_tile_post_advection_centerdiff_matches_lists():
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Adaptive,
+        level_estimation_method=LevelEstimationMethod.CenterDiff,
+        level_estimation_after_advection=True,
+        force_level_estimation=True,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_vs_lists(params, _dam_scene(spacing2=0.08), steps=3, check_levels=True)
+
+
 def test_backend_differential_uniform_iisph2():
     # covers the sorted-column reads IISPH2 uses (omega, size_class)
     params = SimulationParams(
