@@ -265,13 +265,16 @@ def compact(state: FluidState) -> FluidState:
     return jax.tree.map(g, state).replace(n=n)
 
 
-def split(state: FluidState, params: SimulationParams, patterns, max_splits: int):
+def split(state: FluidState, params: SimulationParams, patterns, max_splits: int,
+          owned=None):
     """TooLarge -> n children placed by the precomputed pattern (splitting.rs:19-82).
 
     patterns: (P, MAXC, 2) jnp table, row k = positions for (k+2) children, plus
     (P,) valid child counts. Child 0 replaces the parent; the rest fill free slots.
     Splits beyond `max_splits` per step are deferred to the next odd step (the
     classification re-runs there); deferred count is returned for diagnostics.
+    owned: optional mask restricting parents (slab-sharded path: each device
+    splits only the particles it owns; ghost rows are never parents).
     """
     C = state.capacity
     pat_pos, pat_counts = patterns  # (P, MAXC, 2) device, (P,) host numpy
@@ -280,6 +283,8 @@ def split(state: FluidState, params: SimulationParams, patterns, max_splits: int
 
     cls = classify(state, params)
     too_large = state.alive & (cls == SIZE_TOO_LARGE)
+    if owned is not None:
+        too_large = too_large & owned
 
     level = _level_or_max_depth(state, params)
     target = optimal_mass_from_level(level, params, dim=2)
@@ -388,16 +393,21 @@ def split(state: FluidState, params: SimulationParams, patterns, max_splits: int
 
 def single_step_adaptivity(state: FluidState, nb, dt,
                            params: SimulationParams, split_patterns,
-                           partner_fn=None):
+                           partner_fn=None, owned=None, psum=lambda x: x):
     """share every step; merge on even steps, split on odd (simulation.rs:2732-2796).
 
     step_number was already advanced by single_step_without_adaptivity, matching the
     reference's ordering (time/step advance at simulation.rs:2724-2725).
     partner_fn(state, cls, mode) overrides the list-based matcher (the tile
     backend passes find_partners_tiles so no neighbor lists are ever built).
+    owned/psum: slab-sharded hooks — resampling is slab-local (donors AND
+    receivers must be owned; edge pairs match inward instead of across the
+    boundary), counters and the mass-conservation check reduce globally.
     """
     diag = {}
-    total_mass_1 = jnp.sum(jnp.where(state.alive, state.mass, 0.0))
+    own = state.alive if owned is None else (state.alive & owned)
+    alive_in = state.alive
+    total_mass_1 = psum(jnp.sum(jnp.where(own, state.mass, 0.0)))
 
     if partner_fn is None:
         def partner_fn(st, cls, mode):
@@ -407,7 +417,7 @@ def single_step_adaptivity(state: FluidState, nb, dt,
         cls = classify(state, params)
         partner, cnt, _active = partner_fn(state, cls, "share")
         state = _apply_transfer(state, partner, cnt, dt, params, "share")
-        diag["shares"] = jnp.sum(cnt > 0)
+        diag["shares"] = psum(jnp.sum(cnt > 0))
 
     def do_merge(st):
         cls = classify(st, params)
@@ -416,13 +426,17 @@ def single_step_adaptivity(state: FluidState, nb, dt,
         # no compaction: deleted donors become free slots in place (split fills
         # them mask-wise); the reference's swap-to-end + truncate
         # (particle_merging.rs:339-370) exists only because its Vecs are dense
-        return (st2.replace(n=jnp.sum(st2.alive).astype(jnp.int32)),
-                jnp.sum(cnt > 0), jnp.int32(0), jnp.int32(0))
+        return (st2.replace(n=psum(jnp.sum(
+                    st2.alive if owned is None else (st2.alive & owned)
+                )).astype(jnp.int32)),
+                psum(jnp.sum(cnt > 0)), jnp.int32(0), jnp.int32(0))
 
     def do_split(st):
-        st2, sdiag = split(st, params, split_patterns, max_splits=_max_splits(st.capacity))
-        return (st2, sdiag["splits"], sdiag["split_missing_pattern"].astype(jnp.int32),
-                sdiag["split_deferred"].astype(jnp.int32))
+        st2, sdiag = split(st, params, split_patterns,
+                           max_splits=_max_splits(st.capacity), owned=owned)
+        return (st2, psum(sdiag["splits"]),
+                psum(sdiag["split_missing_pattern"]).astype(jnp.int32),
+                psum(sdiag["split_deferred"]).astype(jnp.int32))
 
     def no_op(st):
         return st, jnp.int32(0), jnp.int32(0), jnp.int32(0)
@@ -443,7 +457,14 @@ def single_step_adaptivity(state: FluidState, nb, dt,
         diag["split_missing_pattern"] = missing
         diag["split_deferred"] = deferred
 
-    total_mass_2 = jnp.sum(jnp.where(state.alive, state.mass, 0.0))
+    if owned is None:
+        own2 = state.alive
+    else:
+        # split children (newly alive rows) are owned by their creator; merged
+        # donors left the owned set via the alive mask
+        own2 = (own | (state.alive & ~alive_in)) & state.alive
+        diag["_owned_after"] = own2
+    total_mass_2 = psum(jnp.sum(jnp.where(own2, state.mass, 0.0)))
     diag["mass_conservation_error"] = jnp.abs(total_mass_1 - total_mass_2)
     return state, diag
 
@@ -452,7 +473,8 @@ def _max_splits(capacity: int) -> int:
     return max(64, capacity // 16)
 
 
-def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
+def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str,
+                        origin=None, owned=None):
     """Partner matching on the sorted-tile engine (zero per-edge gathers).
 
     Same four pair reductions as _find_partners (cnt0, cnt1, donor stand-down,
@@ -461,6 +483,10 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
     Pair-set semantics identical to the list path: candidates within
     max_{merge,share}_distance * h_ij (strictly less-or-equal, matched via a
     mask_fn on top of a slightly widened harness radius).
+
+    origin/owned: slab-sharded hooks — the build uses the device's local grid
+    origin, and matching is restricted to owned donors AND owned receivers
+    (cross-boundary pairs match inward; index priority stays frame-local).
     """
     import jax.numpy as jnp
 
@@ -483,18 +509,23 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
         donor_class = (cls == SIZE_LARGE) & state.alive
         max_dist_f = float(params.max_share_distance)
         dropped = _dropped_mass_sharing(level, state.mass, dt, params)
+    if owned is not None:
+        donor_class = donor_class & owned
 
     bins = build_tiles(state.position, h_eff * jnp.float32(tcfg.mscale), h_eff,
-                       state.alive, tcfg)
-    allsorted = sort_fields(
-        bins,
-        [state.position, h_eff, state.mass,
-         cls.astype(jnp.float32), target_mass, dropped,
-         idx.astype(jnp.float32), donor_class.astype(jnp.float32)],
-    )
+                       state.alive, tcfg, origin=origin)
+    sort_cols = [state.position, h_eff, state.mass,
+                 cls.astype(jnp.float32), target_mass, dropped,
+                 idx.astype(jnp.float32), donor_class.astype(jnp.float32)]
+    if owned is not None:
+        sort_cols.append(owned.astype(jnp.float32))
+    allsorted = sort_fields(bins, sort_cols)
     st = allsorted[:, 0:4]
-    wm = window_meta(tcfg, bins, st)
-    dyn_base = allsorted[:, 4:9]  # cls, target, dropped, fidx, donor
+    wm = window_meta(tcfg, bins, st, origin=origin)
+    base_names = ("cls", "target", "dropped", "fidx", "donor") + (
+        ("own",) if owned is not None else ()
+    )
+    dyn_base = allsorted[:, 4:4 + len(base_names)]
 
     def receiver_ok(d, r):
         """r eligible as receiver of donor d (class rules).
@@ -531,11 +562,14 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
     def elig_base_dr(d, r, ctx):
         """d = donor side, r = receiver side; ctx pair mask already applied."""
         not_self = d["fidx"] != r["fidx"]
-        return (d["donor"] > 0.5) & not_self & receiver_ok(d, r)
+        ok = (d["donor"] > 0.5) & not_self & receiver_ok(d, r)
+        if owned is not None:
+            ok = ok & (r["own"] > 0.5)
+        return ok
 
     # pass 1: potential receiver count per donor (q = donor, c = receiver)
     op1 = SweepOp(
-        name="adapt_cnt0", n_out=1, dyn_names=("cls", "target", "dropped", "fidx", "donor"),
+        name="adapt_cnt0", n_out=1, dyn_names=base_names,
         emit=lambda q, c, ctx: [elig_base_dr(q, c, ctx).astype(jnp.float32)], **mk,
     )
     cnt0_s = jnp.maximum(run_sweep(tcfg, bins, st, dyn_base, op1, scale, wmeta=wm)[:, 0], 1.0)
@@ -549,7 +583,7 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
 
     op2 = SweepOp(
         name="adapt_cnt1", n_out=1,
-        dyn_names=("cls", "target", "dropped", "fidx", "donor", "cnt0"),
+        dyn_names=base_names + ("cnt0",),
         emit=lambda q, c, ctx: [elig_full_dr(q, c, ctx).astype(jnp.float32)], **mk,
     )
     cnt1_s = run_sweep(tcfg, bins, st, dyn6, op2, scale, wmeta=wm)[:, 0]
@@ -564,7 +598,7 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
 
     op3 = SweepOp(
         name="adapt_claim", n_out=1,
-        dyn_names=("cls", "target", "dropped", "fidx", "donor", "cnt0", "cand"),
+        dyn_names=base_names + ("cnt0", "cand"),
         emit=claimer_edge, reduce="max", fill=NEG_BIG, **mk,
     )
     neg_min_claimer = run_sweep(tcfg, bins, st, dyn7, op3, scale, wmeta=wm)[:, 0]
@@ -581,7 +615,7 @@ def find_partners_tiles(state: FluidState, tcfg, cls, dt, params, mode: str):
 
     op4 = SweepOp(
         name="adapt_partner", n_out=1,
-        dyn_names=("cls", "target", "dropped", "fidx", "donor", "cnt0", "cand"),
+        dyn_names=base_names + ("cnt0", "cand"),
         emit=partner_edge, reduce="max", fill=NEG_BIG, **mk,
     )
     neg_partner = run_sweep(tcfg, bins, st, dyn7b, op4, scale, wmeta=wm)[:, 0]

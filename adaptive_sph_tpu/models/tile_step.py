@@ -81,10 +81,6 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     """
     diag = {}
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
-    if halo is not None:
-        assert not (params.merging or params.sharing or params.splitting), (
-            "slab-sharded tile backend does not resample (cross-device partner "
-            "matching); run adaptivity on the replicated backends")
 
     # 1. smoothing-length update (simulation.rs:1999-2016)
     if adaptive:
@@ -272,6 +268,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
             tcfg, bins, st, dyn3, pscale, tcfg.b_max, vm, params.viscosity,
             wmeta=wm,
+            wdtype=jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32,
         )
         diag["wcache_overflow"] = psum(wcnt[1])
     elif first_np_at_start:

@@ -107,8 +107,8 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, meta_ref,
                     ).wait()
 
                 half = _lane_width(TQ) // 2
-                scratch[buf, :, 0:TQ] = g * dx
-                scratch[buf, :, half:half + TQ] = g * dy
+                scratch[buf, :, 0:TQ] = (g * dx).astype(scratch.dtype)
+                scratch[buf, :, half:half + TQ] = (g * dy).astype(scratch.dtype)
                 pltpu.make_async_copy(
                     scratch.at[buf], w_hbm.at[slot], sem.at[buf]
                 ).start()
@@ -272,20 +272,26 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, out_ref, scratch, sem,
 
             half = _lane_width(tq) // 2
             w = scratch[buf, g]  # (64, LW) = [wx | pad | wy | pad], cands on sublanes
+            if w.dtype != jnp.float32:  # bf16-stored blocks compute in f32
+                w = w.astype(jnp.float32)
             tv = t_ref[pl.ds(an_e, TILE), :]  # (64, k_in)
             row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
-            # one MXU pass contracts the candidate sublanes: (k_in, LW)
-            res = jax.lax.dot_general(
-                tv, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            if k_out == 2:  # k_in == 1: res = [ax | ay]
-                ax = res[0:1, 0:tq]
-                ay = res[0:1, half:half + tq]
+            if k_out == 2:  # k_in == 1: out = [sum wx*u | sum wy*u]
+                # VPU broadcast-multiply + sublane tree-reduce beats the MXU
+                # dot at this shape (measured 70 vs 134 ns/block — the dot's
+                # issue cost exceeds the 64x128 elementwise work); the kernel
+                # is then DMA-bound (scripts/matvec_probe.py)
+                prod = w * tv[:, 0:1]
+                ax = jnp.sum(prod[:, 0:tq], axis=0, keepdims=True)
+                ay = jnp.sum(prod[:, half:half + tq], axis=0, keepdims=True)
                 # sublane placement via iota select — jnp.concatenate along
                 # sublanes inside the unrolled group crashes Mosaic
                 contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
-            else:  # k_in == 2: sum wx*tx + wy*ty
+            else:  # k_in == 2: sum wx*tx + wy*ty — MXU wins here (98 ns/block)
+                res = jax.lax.dot_general(
+                    tv, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
                 c0 = res[0:1, 0:tq] + res[1:2, half:half + tq]
                 contrib = jnp.where(row == 0, c0, 0.0)
             acc = acc + jnp.where(valid, contrib, 0.0)
@@ -323,7 +329,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, GRP, TILE, _lane_width(tq)), jnp.float32),
+            pltpu.VMEM((NBUF, GRP, TILE, _lane_width(tq)), weights.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -411,8 +417,8 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                     ).wait()
 
                 half = _lane_width(TQ) // 2
-                scratch[buf, :, 0:TQ] = wx
-                scratch[buf, :, half:half + TQ] = wy
+                scratch[buf, :, 0:TQ] = wx.astype(scratch.dtype)
+                scratch[buf, :, half:half + TQ] = wy.astype(scratch.dtype)
                 pltpu.make_async_copy(
                     scratch.at[buf], w_hbm.at[slot], sem.at[buf]
                 ).start()
@@ -510,11 +516,14 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
 
 def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
                             dyn_sorted, scale: float, b_max: int, visc_mode: str,
-                            viscosity: float, wmeta=None, interpret=None):
+                            viscosity: float, wmeta=None, interpret=None,
+                            wdtype=jnp.float32):
     """Fused builder: returns (weights, (qt, anchor), cnt, prep (C, 8)).
 
     dyn_sorted: (C, 3) sorted [rho, velx, vely]. prep columns match
     tile_physics.prep_op; visc_mode in {"none", "wcsph", "laplace"}.
+    wdtype: weight-block storage dtype (params.weight_cache_bf16 passes
+    bfloat16 — halves the per-iteration HBM stream; the prep sums stay f32).
     """
     assert b_max % GRP == 0
     assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
@@ -547,7 +556,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE, _lane_width(TQ)), jnp.float32),
+            pltpu.VMEM((2, TILE, _lane_width(TQ)), wdtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -555,7 +564,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), jnp.float32),
+            jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), wdtype),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
             jax.ShapeDtypeStruct((NT, 1, 8 * TQ), jnp.float32),

@@ -27,8 +27,10 @@ the old owner's set for one step (it is inside the halo strip by CFL), is handed
 to the neighbor in the next exchange, and dropped by the old owner at that step's
 retention compaction.
 
-Requires resampling off (split/merge partner matching is not cross-device; the
-replicated GSPMD list-backend path in parallel/sharding.py covers those configs).
+Resampling (share/merge/split) runs slab-locally between the step and the
+retention compaction — see make_slab_step_fn. Cross-boundary partner pairs
+match inward instead (exactly conservative; validated statistically against
+the single-device run like SURVEY.md section 7 prescribes).
 """
 
 from __future__ import annotations
@@ -223,9 +225,21 @@ def _payload_fields(buf):
 
 
 def make_slab_step_fn(params: SimulationParams, scfg: SlabConfig, boundary_handler,
-                      mesh: Mesh):
-    """Jitted sharded step: FluidState with (ndev*c_dev, ...) arrays -> same."""
-    assert not (params.merging or params.sharing or params.splitting)
+                      mesh: Mesh, split_patterns=None):
+    """Jitted sharded step: FluidState with (ndev*c_dev, ...) arrays -> same.
+
+    Resampling (share/merge/split) runs SLAB-LOCALLY between the physics step
+    and the retention compaction: partner matching restricts donors AND
+    receivers to owned particles (cross-boundary pairs match inward — the
+    matching radius is under halo_w, and index-priority stays frame-local so
+    every device's decisions are self-consistent), split children fill local
+    free slots and join the owned set, and the mass-conservation check reduces
+    over owned rows globally. Reference anchor: adaptivity runs as the same
+    three passes as the single-process path (particle_merging.rs:16-122,270-328).
+    """
+    resampling = params.merging or params.sharing or params.splitting
+    if resampling and params.splitting:
+        assert split_patterns is not None, "splitting needs split_patterns"
     ndev = scfg.ndev
     S = scfg.strip
     edges = jnp.asarray(scfg.edges, jnp.float32)
@@ -284,7 +298,23 @@ def make_slab_step_fn(params: SimulationParams, scfg: SlabConfig, boundary_handl
                                             halo=halo)
         # the step emits its state in SORTED order (models/tile_step.py
         # emit_sorted); the ownership mask in that same order rides the diag
-        keep = diag.pop("_owned_sorted") & new_w.alive
+        keep_owned = diag.pop("_owned_sorted")
+        if resampling:
+            from ..models import adaptivity as adapt
+
+            def partner_fn(st, cls, mode):
+                return adapt.find_partners_tiles(
+                    st, scfg.tcfg, cls, dt, params, mode,
+                    origin=halo.origin, owned=keep_owned,
+                )
+
+            new_w, adiag = adapt.single_step_adaptivity(
+                new_w, None, dt, params, split_patterns,
+                partner_fn=partner_fn, owned=keep_owned, psum=halo.psum,
+            )
+            keep_owned = adiag.pop("_owned_after")
+            diag.update(adiag)
+        keep = keep_owned & new_w.alive
         pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
         tgt = jnp.where(keep & (pos < scfg.c_dev), pos, scfg.c_dev)
         kept = jnp.sum(keep.astype(jnp.int32))

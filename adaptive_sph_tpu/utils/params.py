@@ -185,6 +185,13 @@ class SimulationParams:
     # avg-error tolerance with the >=2-iteration rule — but typically several times
     # fewer Jacobi iterations. Off by default for bitwise reference parity.
     warm_start_pressure: bool = False
+    # store the per-solve PPE weight-cache blocks (ops/pallas_matvec.py) as
+    # bfloat16 instead of f32: halves the bytes every Jacobi matvec streams
+    # from HBM. The pair weights round to ~0.4% relative, which perturbs the
+    # operator slightly (the solve still converges to ITS tolerance against
+    # the rounded operator); off by default — f32 matches the reference's
+    # numerics and the cross-backend differential tests.
+    weight_cache_bf16: bool = False
 
     def level_estimation_active(self) -> bool:
         if self.level_estimation_method == LevelEstimationMethod.NoneMethod:

@@ -24,26 +24,35 @@ META_SHIFT = 18
 
 
 def scan_time(fn, x, *extra, iters=50):
-    """fn(x, *extra) -> array like x; extra are jit args (NOT closure-captured:
+    """Differential per-iteration cost (cancels the ~30 ms tunnel dispatch
+    latency that a fixed-length scan turns into a fake ~0.6 ms/iter floor).
+    fn(x, *extra) -> array like x; extra are jit args (NOT closure-captured:
     captured arrays are serialized into the axon remote_compile request)."""
 
-    @jax.jit
-    def run(x, *extra):
-        def body(c, _):
-            out = fn(c, *extra)
-            return jnp.abs(out) * (1.0 - 1e-7) + 1e-30, None
+    def make(length):
+        @jax.jit
+        def run(x, *extra):
+            def body(c, _):
+                out = fn(c, *extra)
+                return jnp.abs(out) * (1.0 - 1e-7) + 1e-30, None
 
-        f, _ = jax.lax.scan(body, x, None, length=iters)
-        return f
+            f, _ = jax.lax.scan(body, x, None, length=length)
+            return f
 
-    jax.block_until_ready(run(x, *extra))
+        return run
+
+    short, long = make(iters), make(3 * iters)
+    jax.block_until_ready(short(x, *extra))
+    jax.block_until_ready(long(x, *extra))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x, *extra))
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(short(x, *extra))
+    t1 = time.perf_counter()
+    jax.block_until_ready(long(x, *extra))
+    return ((time.perf_counter() - t1) - (t1 - t0)) / (2 * iters)
 
 
 def make_kernel(tq, lw, grp, nbuf, *, do_slice=True, do_dot=True, do_store=True,
-                do_switch=True):
+                do_switch=True, k_in=1, k_out=2, vpu=False):
     def kern(cnt_ref, meta_ref, w_hbm, t_ref, out_ref, scratch, sem):
         B = cnt_ref[0]
         NG = (B + grp - 1) // grp
@@ -86,16 +95,32 @@ def make_kernel(tq, lw, grp, nbuf, *, do_slice=True, do_dot=True, do_store=True,
                 else:
                     tv = t_ref[pl.ds(8 * (j % 8), TILE), :]
                 row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
-                if do_dot:
+                half = lw // 2
+                if vpu:
+                    # no MXU: broadcast t into lanes, elementwise multiply, one
+                    # sublane tree-reduce per block
+                    if k_in == 1:
+                        prod = w * tv[:, 0:1]
+                        c0 = jnp.sum(prod[:, 0:tq], axis=0, keepdims=True)
+                        c1 = jnp.sum(prod[:, half:half + tq], axis=0, keepdims=True)
+                        contrib = jnp.where(row == 0, c0, jnp.where(row == 1, c1, 0.0))
+                    else:
+                        prod = w[:, 0:tq] * tv[:, 0:1] + w[:, half:half + tq] * tv[:, 1:2]
+                        c0 = jnp.sum(prod, axis=0, keepdims=True)
+                        contrib = jnp.where(row == 0, c0, 0.0)
+                elif do_dot:
                     res = jax.lax.dot_general(
                         tv, w, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
-                    half = lw // 2
-                    ax = res[0:1, 0:tq]
-                    ay = res[0:1, half:half + tq]
-                    contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
+                    if k_out == 2:
+                        ax = res[0:1, 0:tq]
+                        ay = res[0:1, half:half + tq]
+                        contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
+                    else:
+                        c0 = res[0:1, 0:tq] + res[1:2, half:half + tq]
+                        contrib = jnp.where(row == 0, c0, 0.0)
                 else:
                     contrib = jnp.where(row == 0, w[0:1, 0:tq], 0.0)
                 acc = acc + jnp.where(valid, contrib, 0.0)
@@ -188,11 +213,12 @@ def dma_variant(name, weights, cnt, t, grp=8, nbuf=4, collapse2d=False):
     return ms
 
 
-def run_variant(name, weights, meta, cnt, t, tq, grp=8, nbuf=4, **kw):
+def run_variant(name, weights, meta, cnt, t, tq, grp=8, nbuf=4, k_in=1, k_out=2,
+                **kw):
     b_max, _, lw = weights.shape
     C = t.shape[0]
     NT = C // tq
-    kern = make_kernel(tq, lw, grp, nbuf, **kw)
+    kern = make_kernel(tq, lw, grp, nbuf, k_in=k_in, k_out=k_out, **kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -275,7 +301,7 @@ def main():
         names.remove("xlasum")
         nb = int(cnt[0])
         wa = w[: (nb // 8) * 8]
-        ms = scan_time(lambda x: (jnp.sum(x) * 1e-20 + 1.0)[None], wa) * 1e3
+        ms = scan_time(lambda x: x * (jnp.sum(x) * 0.0 + (1.0 - 1e-9)), wa) * 1e3
         mb = wa.size * 4 / 1e6
         print(f"{'XLA reduce of the used blocks':34s} {ms:7.3f} ms  "
               f"({mb/ms:6.0f} GB/s over {mb:.0f} MB)")
@@ -292,8 +318,18 @@ def main():
             names.remove(key)
             ww = w.astype(jnp.bfloat16) if kw.pop("dtype", None) == "bf16" else w
             dma_variant(label, ww, cnt, t, **kw)
+    t2 = jnp.ones((tcfg.capacity, 2), jnp.float32)
     for nm in names:
-        if nm == "base":
+        if nm == "divbase":
+            run_variant("div mode (k_in=2 k_out=1)", w, meta, cnt, t2, tcfg.tq,
+                        k_in=2, k_out=1)
+        elif nm == "divvpu":
+            run_variant("div mode VPU (no MXU)", w, meta, cnt, t2, tcfg.tq,
+                        k_in=2, k_out=1, vpu=True)
+        elif nm == "accvpu":
+            run_variant("accel mode VPU (no MXU)", w, meta, cnt, t, tcfg.tq,
+                        vpu=True)
+        elif nm == "base":
             run_variant("base (prod-equivalent)", w, meta, cnt, t, tcfg.tq)
         elif nm == "dma":
             run_variant("dma-only (no slice/dot/store)", w, meta, cnt, t, tcfg.tq,

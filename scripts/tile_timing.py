@@ -1,8 +1,11 @@
 """Per-piece timing of the tile-backend step on the current device.
 
-Per-dispatch overhead through the axon tunnel is ~30-40 ms, so each piece is
-repeated ITERS times INSIDE one jitted lax.scan dispatch, with a data dependency
-between iterations to stop XLA hoisting the loop-invariant body.
+Each piece is repeated inside one jitted lax.scan dispatch with a data
+dependency between iterations (stops XLA hoisting the loop-invariant body),
+and the cost is taken as the DIFFERENTIAL between a long and a short scan:
+one dispatch through the axon tunnel costs ~30 ms of host latency, which
+divided by a fixed iteration count masquerades as a ~0.6 ms/iter floor (the
+round-2 profile suffered exactly this).
 Usage: python scripts/tile_timing.py
 """
 
@@ -16,10 +19,12 @@ ITERS = 50
 
 
 def scan_time(fn, *args, iters=ITERS, feedback=None):
-    """Time fn(*args) repeated `iters` times in ONE dispatch.
+    """Differential cost of one fn(*args) inside a scanned dispatch.
 
-    feedback: optional (out -> scalar f32) used to perturb args[0] each iteration
-    (x * (1 + 0*s)) so the body can't be hoisted. Default: sum of first leaf.
+    Times scans of length `iters` and `3*iters` and returns
+    (t_long - t_short) / (2*iters): per-dispatch tunnel latency cancels.
+    feedback: optional (out -> scalar f32) used to perturb args[0] each
+    iteration (x * (1 + 0*s)) so the body can't be hoisted.
     """
 
     def dep_scalar(out):
@@ -28,25 +33,32 @@ def scan_time(fn, *args, iters=ITERS, feedback=None):
 
     fb = feedback or dep_scalar
 
-    @jax.jit
-    def run(*a):
-        def body(carry, _):
-            s = carry
-            a0p = jax.tree.map(
-                lambda x: x * (1.0 + s) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                a[0],
-            )
-            out = fn(a0p, *a[1:])
-            return fb(out), None
+    def make(length):
+        @jax.jit
+        def run(*a):
+            def body(carry, _):
+                s = carry
+                a0p = jax.tree.map(
+                    lambda x: x * (1.0 + s) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    a[0],
+                )
+                out = fn(a0p, *a[1:])
+                return fb(out), None
 
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return final
+            final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+            return final
 
-    jax.block_until_ready(run(*args))
+        return run
+
+    short, long = make(iters), make(3 * iters)
+    jax.block_until_ready(short(*args))
+    jax.block_until_ready(long(*args))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*args))
+    jax.block_until_ready(short(*args))
     t1 = time.perf_counter()
-    return (t1 - t0) / iters
+    jax.block_until_ready(long(*args))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (2 * iters)
 
 
 def main():

@@ -343,6 +343,38 @@ def test_tile_post_advection_centerdiff_matches_lists():
     _diff_vs_lists(params, _dam_scene(spacing2=0.08), steps=3, check_levels=True)
 
 
+def test_weight_cache_bf16_converges():
+    # opt-in bf16 weight-block storage: every solve still reaches its avg-error
+    # tolerance (against the rounded operator) and the trajectory stays close
+    # to the f32 run over a few steps
+    from scipy.spatial import cKDTree
+
+    base = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=120,
+    )
+    out = {}
+    for bf16 in (False, True):
+        sim = create_simulation(
+            base.replace(weight_cache_bf16=bf16), _dam_scene(), capacity=1024,
+            backend="tiles",
+        )
+        tol = sim.params.hybrid_dfsph_max_avg_density_error * sim.params.rest_density
+        for _ in range(4):
+            d = sim.step()
+            err = float(d["density_avg_error"])
+            assert not err == err or abs(err) < tol
+        out[bf16] = sim.state
+    a, b = out[False], out[True]
+    pa = np.asarray(a.position)[np.asarray(a.alive)]
+    pb = np.asarray(b.position)[np.asarray(b.alive)]
+    d, j = cKDTree(pb).query(pa, k=1)
+    assert (np.sort(j) == np.arange(len(pb))).all()
+    np.testing.assert_allclose(pa, pb[j], atol=2e-3)
+
+
 def test_backend_differential_uniform_iisph2():
     # covers the sorted-column reads IISPH2 uses (omega, size_class)
     params = SimulationParams(
