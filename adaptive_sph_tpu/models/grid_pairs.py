@@ -16,7 +16,6 @@ cross-level pairs are recovered by reducing the same pair tensor over the query 
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 import jax
@@ -94,12 +93,6 @@ def pair_apply(
     pos = slot_fields["pos"]
     h = slot_fields["h"]
     mask_flat = bins.slot_mask
-
-    use_pallas = os.environ.get("ASPH_PALLAS", "0") == "1"
-    if use_pallas:
-        return _pair_apply_pallas(
-            cfg, bins, slot_fields, radius_scale, edge_fn, reduce, fill, mask_pos_key
-        )
 
     out = None
 
@@ -210,88 +203,3 @@ def _accumulate_level(out, cfg: GridConfig, contrib, l: int, total, reduce, fill
     if out is None:
         return jax.tree.map(lambda c: one(None, c), contrib)
     return jax.tree.map(one, out, contrib)
-
-
-def _probe_out_spec(slot_fields, edge_fn, mask_pos_key):
-    """Trace edge_fn on (1,1,1)-shaped dummies to learn output names/widths."""
-    def run():
-        vi, vj = {}, {}
-        for k, v in slot_fields.items():
-            trail = v.shape[1:]
-            vi[k] = jnp.zeros((1, 1, 1) + trail, jnp.float32)
-            vj[k] = jnp.zeros((1, 1, 1) + trail, jnp.float32)
-        geom = Geom(
-            jnp.zeros((1, 1, 1, 2), jnp.float32),
-            jnp.ones((1, 1, 1), jnp.float32),
-            jnp.ones((1, 1, 1), jnp.float32),
-            jnp.ones((1, 1, 1), bool),
-        )
-        return edge_fn(vi, vj, geom)
-
-    shapes = jax.eval_shape(run)
-    return {k: v.shape[3:] for k, v in shapes.items()}
-
-
-def _pair_apply_pallas(cfg, bins, slot_fields, radius_scale, edge_fn, reduce, fill,
-                       mask_pos_key):
-    """pair_apply with the per-block contraction running as a Pallas TPU kernel."""
-    from ..ops.pallas_pairs import pack_channels, pair_block_contract
-
-    _, total = cfg.level_offsets
-    mask_flat = bins.slot_mask
-    levels = sorted(set(cfg.populated))
-    out_spec = _probe_out_spec(slot_fields, edge_fn, mask_pos_key)
-    names = sorted(slot_fields)
-    packed, cmap = pack_channels(slot_fields, names)
-    F = packed.shape[1]
-    interpret = jax.default_backend() == "cpu"
-
-    out = None
-    for q in levels:
-        nyq, nxq = cfg.dims(q)
-        NC = nyq * nxq
-        qf = level_view(cfg, packed, q).reshape(NC, cfg.mpc, F)
-        qmask = level_view(cfg, mask_flat, q).reshape(NC, cfg.mpc)
-        q_acc = None
-
-        for c in levels:
-            if c < q:
-                continue
-            factor = 1 << (c - q)
-            cf = _candidate_views(cfg, packed, c, factor, 0).reshape(NC, 9 * cfg.mpc, F)
-            cmask = _candidate_views(cfg, mask_flat, c, factor, False).reshape(
-                NC, 9 * cfg.mpc
-            )
-            want_bwd = c > q
-            oq, oc = pair_block_contract(
-                qf, cf, qmask, cmask, radius_scale, edge_fn, out_spec, cmap,
-                reduce=reduce, fill=fill, want_bwd=want_bwd,
-                mask_pos_key=mask_pos_key, interpret=interpret,
-            )
-            oq = {k: v.reshape((nyq, nxq, cfg.mpc) + out_spec[k]) for k, v in oq.items()}
-            q_acc = oq if q_acc is None else jax.tree.map(
-                (jnp.add if reduce == "sum" else jnp.maximum), q_acc, oq
-            )
-
-            if want_bwd:
-                nyc, nxc = cfg.dims(c)
-
-                def fin(e, k):
-                    t = e.reshape((nyq, nxq, 9, cfg.mpc) + out_spec[k])
-                    if reduce == "sum":
-                        t = downsample_sum2d(t, factor)
-                    else:
-                        t = downsample_max2d(t, factor)
-                    acc = None
-                    for o, (dy, dx) in enumerate(OFFSETS):
-                        piece = shift2d(t[:, :, o], -dy, -dx, 0 if reduce == "sum" else fill)
-                        acc = piece if acc is None else (
-                            acc + piece if reduce == "sum" else jnp.maximum(acc, piece)
-                        )
-                    return acc
-
-                contrib_c = {k: fin(v, k) for k, v in oc.items()}
-                out = _accumulate_level(out, cfg, contrib_c, c, total, reduce, fill)
-
-        out = _accumulate_level(out, cfg, q_acc, q, total, reduce, fill)
-    return out

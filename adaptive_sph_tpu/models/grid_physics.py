@@ -180,77 +180,8 @@ def boundary_div_slots(G, q, qb, rho, bt_kind: str, params: SimulationParams):
     return dq_dot / jnp.maximum(rho, 1e-30)
 
 
-def _use_pallas_solver() -> bool:
-    return os.environ.get("ASPH_PALLAS_SOLVER", "0") == "1"
-
-
-def _pallas_sweep(cfg, bins, sf, scale, extras, mode, w2020):
-    """Run one solver sweep (accel/div) through the Pallas block kernel per level pair.
-
-    extras: list of (slots,) channel arrays appended after [x, y, h, rho, mass];
-    validity is packed as the final channel. Returns the slot-layout result
-    ((slots,) for 'div', (slots, 2) for 'accel') WITHOUT boundary terms.
-    """
-    from ..ops.grid import (
-        OFFSETS,
-        downsample_sum2d,
-        level_view,
-        shift2d,
-    )
-    from ..ops.pallas_solver import solver_block
-    from .grid_pairs import _accumulate_level, _candidate_views
-
-    cols = [sf["pos"][:, 0], sf["pos"][:, 1], sf["h"], sf["rho"], sf["mass"]]
-    cols += list(extras)
-    cols += [bins.slot_mask.astype(jnp.float32)]
-    packed = jnp.stack(cols, axis=-1)  # (slots, F)
-    F = packed.shape[1]
-    OUT = 2 if mode == "accel" else 1
-    interpret = jax.default_backend() == "cpu"
-
-    _, total = cfg.level_offsets
-    levels = sorted(set(cfg.populated))
-    out = None
-    MQ = cfg.mpc
-    W = 9 * cfg.mpc
-
-    for q in levels:
-        nyq, nxq = cfg.dims(q)
-        NC = nyq * nxq
-        qf = level_view(cfg, packed, q).reshape(NC, MQ, F)
-        q_acc = None
-        for c in levels:
-            if c < q:
-                continue
-            factor = 1 << (c - q)
-            cf = _candidate_views(cfg, packed, c, factor, 0).reshape(NC, W, F)
-            oq, oc = solver_block(
-                qf, cf, scale, MQ=MQ, W=W, F=F, mode=mode, w2020=w2020,
-                interpret=interpret,
-            )
-            oq = oq.reshape(nyq, nxq, MQ, OUT)
-            q_acc = oq if q_acc is None else q_acc + oq
-            if c > q:
-                nyc, nxc = cfg.dims(c)
-                t = oc.reshape(nyq, nxq, 9, MQ, OUT)
-                t = downsample_sum2d(t, factor)
-                acc = None
-                for o, (dy, dx) in enumerate(OFFSETS):
-                    piece = shift2d(t[:, :, o], -dy, -dx, 0)
-                    acc = piece if acc is None else acc + piece
-                out = _accumulate_level(out, cfg, {"r": acc}, c, total, "sum", 0.0)
-        out = _accumulate_level(out, cfg, {"r": q_acc}, q, total, "sum", 0.0)
-
-    res = out["r"]  # (slots, OUT)
-    return res[:, 0] if OUT == 1 else res
-
-
 def pressure_accel_slots(cfg, bins, sf, scale, p, G, bt_kind, params):
     """-sum m_j (p_i/rho_i^2 + p_j/rho_j^2) grad W (simulation.rs:1750-1808)."""
-    if _use_pallas_solver():
-        acc = _pallas_sweep(cfg, bins, sf, scale, [p], "accel", False)
-        return acc + boundary_accel_slots(G, p, sf["rho"], bt_kind, params)
-
     fields = dict(sf)
     fields["p"] = p
 
@@ -267,12 +198,6 @@ def pressure_accel_slots(cfg, bins, sf, scale, p, G, bt_kind, params):
 def divergence_slots(cfg, bins, sf, scale, q, qb, G, bt_kind, params):
     """div(A) per simulation.rs:1552-1592 + factored boundary term."""
     w2020 = params.operator_discretization == OperatorDiscretization.Winchenbach2020
-    if _use_pallas_solver():
-        s = _pallas_sweep(cfg, bins, sf, scale, [q[:, 0], q[:, 1]], "div", w2020)
-        if not w2020:
-            s = s / jnp.maximum(sf["rho"], 1e-30)
-        return s + boundary_div_slots(G, q, qb, sf["rho"], bt_kind, params)
-
     fields = dict(sf)
     fields["q"] = q
 

@@ -221,6 +221,21 @@ def cone_op(params: SimulationParams):
                    reduce="max", fill=0.0)
 
 
+def fringe_count_op():
+    """#{j : 2|x_ij| - sr_j > t_i} per query — the counting primitive of the
+    EXACT neighborhood-count constraint (simulation.rs:2145-2177): the k-th
+    largest fringe is found by bisection on t instead of a per-particle sort.
+    Unlike the list backend's forward-row approximation, the tile sweep sees
+    BOTH edge directions, so the selection is exact at any size interface."""
+    srbs = kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+
+    def emit(q, c, ctx):
+        f = 2.0 * ctx.r - c["h"] * srbs
+        return [(f > q["t"]).astype(jnp.float32)]
+
+    return SweepOp(name="fringe_count", n_out=1, dyn_names=("t",), emit=emit)
+
+
 def centerdiff_op(params: SimulationParams):
     """CenterDiff surface-detection sums (simulation.rs:630-695, Horvath 2013):
     [sum V_j W, sum V_j W x_j, sum V_j W y_j, sum V_j W r_j]."""

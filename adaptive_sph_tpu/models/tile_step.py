@@ -39,12 +39,9 @@ from .state import FluidState
 
 
 def supports_tile_backend(params: SimulationParams) -> bool:
-    """check_aii and post-advection/CenterDiff levels run ON the tile engine
-    (an extra SweepOp / a rebuilt layout at the advected positions); the only
-    configs still served by the list backend are the exact neighborhood-count
-    constraint and the rare stale-pair-set post-advection combination."""
-    if params.constrain_neighborhood_count:
-        return False
+    """check_aii, the exact neighborhood-count constraint, and post-advection/
+    CenterDiff levels all run ON the tile engine; the only config still served
+    by the list backend is the rare stale-pair-set post-advection combination."""
     if (params.level_estimation_active()
             and params.level_estimation_after_advection
             and not params.use_extended_range_for_level_estimation):
@@ -59,25 +56,21 @@ def _stack(*cols):
 
 
 def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileConfig,
-                      boundary_handler, halo=None, emit_sorted=True,
-                      emit_prev_pos=False):
+                      boundary_handler, halo=None, emit_prev_pos=False):
     """One full step on the sorted-tile backend. Returns (new_state, dt, diag).
 
     halo: optional HaloHooks (parallel/tile_sharding.py) for slab-sharded
     multi-chip execution: per-device slab origin, ghost-row refresh inside the
     solver, ownership mask for reductions/outputs, and psum/pmin collectives.
 
-    emit_sorted: the particle ORDER of the returned state is this step's sorted
-    tile layout rather than the input order. The SoA + alive-mask state design
-    makes order free (SURVEY.md section 7), so the per-step unsort row-gather —
-    the single biggest non-physics cost of round 2 (PERFORMANCE.md) — is skipped
-    entirely; the next step's sort starts from a nearly-sorted layout. Pass
-    False for consumers that need index-stable states across the step (the
-    video exporter's position interpolation, animation/mod.rs:191-210).
+    The particle ORDER of the returned state is this step's sorted tile layout
+    rather than the input order. The SoA + alive-mask state design makes order
+    free (SURVEY.md section 7), so the per-step unsort row-gather is skipped
+    entirely and the next step's sort starts from a nearly-sorted layout.
 
     emit_prev_pos: adds diag["pos_prev"] = start-of-step positions in the
-    RETURNED order, so interpolation across the step stays possible when
-    emit_sorted (the exporter blends pos_prev with the new positions).
+    RETURNED order, so interpolation across the step stays possible for the
+    video exporter (animation/mod.rs:191-210) despite the reordering.
     """
     diag = {}
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
@@ -109,8 +102,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                                  psum(bins.level_overflow))
 
     # ONE batched row-gather sorts every field (each separate gather costs ~0.17 ms
-    # on v5e). With emit_sorted this is the ONLY row-gather of the step: outputs
-    # stay in sorted order and carry-through fields ride extra columns here.
+    # on v5e). This is the ONLY row-gather of the step: outputs stay in sorted
+    # order and carry-through fields ride extra columns here.
     warm = bool(params.warm_start_pressure)
     sort_cols = []
     col_ix = {}
@@ -133,8 +126,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if warm:
         add_col("pressure", state.pressure)
         add_col("pressure_div", state.pressure_div)
-    if emit_sorted:
-        add_col("h_next", h_next)
+    add_col("h_next", h_next)
     if halo is not None:
         add_col("owned", halo.owned.astype(jnp.float32))
     allsorted = sort_fields(bins, sort_cols)
@@ -206,11 +198,61 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if adaptive and params.support_length_estimation != SupportLengthEstimation.FromMass:
         hn_s = _h_next_distribution(sweep, st, lam_s, params, pscale)
 
-    # 9. CFL dt (simulation.rs:2182-2191) — flat arrays; global min across slabs
-    sr = h_eff * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
-    v2 = jnp.sum(state.velocity * state.velocity, -1)
-    owned_flat = alive if halo is None else (alive & halo.owned)
-    val = jnp.where(owned_flat, sr * sr / (v2 + 0.01), jnp.inf)
+    # 7. EXACT neighborhood-count constraint (simulation.rs:2145-2177): the
+    # k-th largest fringe 2|x_ij| - sr_j over ALL neighbors, selected by
+    # bisection on a counting sweep (the reference sorts per particle). The
+    # constrained h only SHRINKS, so the existing windows remain valid
+    # candidate supersets; subsequent sweeps read the updated statics table.
+    flag_reduced_s = None
+    if adaptive and params.constrain_neighborhood_count:
+        srbs = kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+        target_n = jnp.float32(int(kernels.optimal_neighbor_number(2)) + 5)
+        count_n = sweep(tp.COUNT_OP, None, pscale)[:, 0]
+        need = alive_s & (count_n > target_n)
+        m_pos = jnp.clip(count_n - target_n, 0.0, None)  # 0-indexed desc rank
+        h_max_all = pmax(jnp.max(jnp.where(alive_s, h_s, 0.0)))
+        lo0 = jnp.full_like(h_s, -(h_max_all * srbs))
+        hi0 = jnp.full_like(h_s, 2.0 * jnp.float32(pscale) * h_max_all)
+
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt_gt = sweep(tp.fringe_count_op(), mid[:, None], pscale)[:, 0]
+            gt = cnt_gt > m_pos
+            return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
+
+        _, hi_f = jax.lax.fori_loop(0, 30, bisect, (lo0, hi0))
+        h_constrained = jnp.maximum(hi_f, 0.0)
+        # swap semantics (simulation.rs:2173): h_next <- old h2 (any
+        # distribution estimate is discarded), h2 <- constrained-or-old
+        hn_s = h_raw_s
+        h_raw_s = jnp.where(need, h_constrained, h_raw_s)
+        h_s = h_raw_s  # adaptive: h_eff == h
+        st = jnp.concatenate(
+            [pos_s, h_raw_s[:, None], mass_s[:, None]], axis=1
+        )
+        flag_reduced_s = need
+        # boundary terms follow the constraint in the reference (rs:2179)
+        h_safe = jnp.maximum(h_raw_s, 1e-6)
+        bt = boundary_handler.update_after_advect(pos_s, h_safe, params)
+        bst = bnd.solver_terms(bt, pos_s, h_safe, params)
+        G_s = jnp.where(alive_s[:, None], bst.G, 0.0)
+        bdens_s = jnp.where(
+            alive_s, bnd.density_boundary_term(bt, pos_s, h_safe, params), 0.0
+        )
+        dist_b = bnd.distance_to_boundary(bt)
+
+    # 9. CFL dt (simulation.rs:2182-2191); global min across slabs
+    if flag_reduced_s is not None:
+        # the constraint changed h in sorted space — reduce there
+        sr_s = h_raw_s * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+        v2s = jnp.sum(vel_s * vel_s, -1)
+        val = jnp.where(alive_s & owned_s, sr_s * sr_s / (v2s + 0.01), jnp.inf)
+    else:
+        sr = h_eff * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
+        v2 = jnp.sum(state.velocity * state.velocity, -1)
+        owned_flat = alive if halo is None else (alive & halo.owned)
+        val = jnp.where(owned_flat, sr * sr / (v2 + 0.01), jnp.inf)
     dt = jnp.minimum(jnp.float32(params.max_dt),
                      params.cfl_factor * jnp.sqrt(pmin(jnp.min(val))))
     diag["dt"] = dt
@@ -539,148 +581,68 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         )
         sm_s = sm[:, 0] / jnp.maximum(sm[:, 1], 1e-30)
 
-    if emit_sorted:
-        # no unsort at all: the returned state IS the sorted layout. Occupied
-        # rows (alive particles placed by the sort) form the new alive mask;
-        # row padding and sort-overflow drops read zeros/fills. Gated-off
-        # diagnostic fields (constant_field, stash, neighbor_count, flags) emit
-        # their fill instead of carrying stale values — they are only ever
-        # consumed by visualizations whose configs force them on.
-        def msk(v, fill=0.0):
-            if v.ndim == 1:
-                return jnp.where(alive_s, v, fill)
-            return jnp.where(alive_s[:, None], v, fill)
+    # no unsort at all: the returned state IS the sorted layout. Occupied
+    # rows (alive particles placed by the sort) form the new alive mask;
+    # row padding and sort-overflow drops read zeros/fills. Gated-off
+    # diagnostic fields (constant_field, stash, neighbor_count, flags) emit
+    # their fill instead of carrying stale values — they are only ever
+    # consumed by visualizations whose configs force them on.
+    def msk(v, fill=0.0):
+        if v.ndim == 1:
+            return jnp.where(alive_s, v, fill)
+        return jnp.where(alive_s[:, None], v, fill)
 
-        zeros_s = jnp.zeros_like(rho_s)
-        if do_levels:
-            level_out = msk(sm_s)
-            has_out = alive_s
-            level_old_out = level_out
-        else:
-            level_out = msk(level_s)
-            has_out = has_s & alive_s
-            level_old_out = level_out
-        if surf_s is not None:
-            surf_out = surf_s & alive_s
-            insuf_out = insuf_s & alive_s
-        else:
-            surf_out = jnp.zeros_like(alive_s)
-            insuf_out = jnp.zeros_like(alive_s)
-        new_state = state.replace(
-            mass=msk(mass_s),
-            position=msk(pos2_s),
-            velocity=msk(vel2_s),
-            pressure=msk(pressure_s),
-            pressure_div=(msk(pdiv_s) if pdiv_s is not None
-                          else (msk(pdiv_prev_s) if warm else zeros_s)),
-            stash=msk(stash_s) if stash_s is not None else zeros_s,
-            pressure_accel=msk(accel_sv),
-            ppe_source_term=msk(src_s),
-            density_error=msk(derr_s),
-            omega=msk(omega_s, 1.0),
-            density=msk(rho_s, 1.0),
-            aii=msk(aii_s),
-            constant_field=msk(cf_s) if cf_s is not None else zeros_s,
-            h=msk(h_raw_s),
-            h_next=msk(hn_s) if hn_s is not None else msk(col("h_next")),
-            level=level_out,
-            has_level=has_out,
-            level_old=level_old_out,
-            size_class=msk(col("size_class")).astype(jnp.int32),
-            neighbor_count=(msk(ncount_s).astype(jnp.int32) if ncount_s is not None
-                            else jnp.zeros_like(alive_s, jnp.int32)),
-            flag_is_fluid_surface=surf_out,
-            flag_insufficient_neighs=insuf_out,
-            flag_neighborhood_reduced=jnp.zeros_like(alive_s),
-            alive=alive_s,
-            time=state.time + dt,
-            step_number=state.step_number + 1,
-        )
-        if emit_prev_pos:
-            diag["pos_prev"] = msk(pos_s)
-        if halo is not None:
-            diag["_owned_sorted"] = owned_s
-        return new_state, dt, diag
-
-    # ONE batched row-gather restores every result to flat particle order
-    cols = [pos2_s, vel2_s, pressure_s[:, None], accel_sv, src_s[:, None],
-            derr_s[:, None], omega_s[:, None], rho_s[:, None], aii_s[:, None]]
-    names = {"pos2": (0, 2), "vel2": (2, 4), "p": (4, 5), "pa": (5, 7),
-             "src": (7, 8), "derr": (8, 9), "omega": (9, 10), "rho": (10, 11),
-             "aii": (11, 12)}
-    nxt = 12
-    for key, val in (("hn", hn_s), ("surf", surf_s), ("insuf", insuf_s),
-                     ("ncount", ncount_s), ("cf", cf_s), ("sm", sm_s),
-                     ("pdiv", pdiv_s), ("stash", stash_s)):
-        if val is not None:
-            cols.append(val.astype(jnp.float32)[:, None])
-            names[key] = (nxt, nxt + 1)
-            nxt += 1
-    flat = unsort(bins, jnp.concatenate(cols, axis=1), None, 0.0)
-
-    def take(key):
-        a, b = names[key]
-        return flat[:, a:b] if b - a > 1 else flat[:, a]
-
-    ok1 = bins.pp < tcfg.capacity
-    ok = ok1[:, None]
-    pos2 = jnp.where(ok & alive[:, None], take("pos2"), pos)
-    vel2 = jnp.where(ok & alive[:, None], take("vel2"), state.velocity)
-    density = jnp.where(alive & ok1, take("rho"), 1.0)
-    aii = jnp.where(alive & ok1, take("aii"), 0.0)
-
-    level, has_level, level_old = state.level, state.has_level, state.level_old
+    zeros_s = jnp.zeros_like(rho_s)
     if do_levels:
-        level = jnp.where(alive & ok1, take("sm"), jnp.where(alive, -params.maximum_surface_distance, 0.0))
-        level = jnp.where(alive, level, 0.0)
-        has_level = alive & ok1
-        level_old = level
-
-    flag_surface = state.flag_is_fluid_surface
-    flag_insufficient = state.flag_insufficient_neighs
+        level_out = msk(sm_s)
+        has_out = alive_s
+        level_old_out = level_out
+    else:
+        level_out = msk(level_s)
+        has_out = has_s & alive_s
+        level_old_out = level_out
     if surf_s is not None:
-        flag_surface = (take("surf") > 0.5) & alive
-        flag_insufficient = (take("insuf") > 0.5) & alive
-
-    if hn_s is not None:
-        h_next = jnp.where(alive & ok1, take("hn"), state.h_next)
-    neighbor_count = state.neighbor_count
-    if ncount_s is not None:
-        neighbor_count = take("ncount").astype(jnp.int32)
-    constant_field = state.constant_field
-    if cf_s is not None:
-        constant_field = take("cf")
-
-    pressure_div = state.pressure_div
-    if pdiv_s is not None:
-        pressure_div = jnp.where(alive & ok1, take("pdiv"), 0.0)
-    stash = state.stash
-    if stash_s is not None:
-        stash = jnp.where(alive & ok1, take("stash"), state.stash)
+        surf_out = surf_s & alive_s
+        insuf_out = insuf_s & alive_s
+    else:
+        surf_out = jnp.zeros_like(alive_s)
+        insuf_out = jnp.zeros_like(alive_s)
     new_state = state.replace(
-        position=pos2,
-        velocity=vel2,
-        pressure=take("p"),
-        pressure_div=pressure_div,
-        stash=stash,
-        pressure_accel=take("pa"),
-        ppe_source_term=take("src"),
-        density_error=take("derr"),
-        omega=jnp.where(alive & ok1, take("omega"), 1.0),
-        density=density,
-        aii=aii,
-        constant_field=constant_field,
-        h=h,
-        h_next=h_next,
-        level=level,
-        has_level=has_level,
-        level_old=level_old,
-        neighbor_count=neighbor_count,
-        flag_is_fluid_surface=flag_surface,
-        flag_insufficient_neighs=flag_insufficient,
+        mass=msk(mass_s),
+        position=msk(pos2_s),
+        velocity=msk(vel2_s),
+        pressure=msk(pressure_s),
+        pressure_div=(msk(pdiv_s) if pdiv_s is not None
+                      else (msk(pdiv_prev_s) if warm else zeros_s)),
+        stash=msk(stash_s) if stash_s is not None else zeros_s,
+        pressure_accel=msk(accel_sv),
+        ppe_source_term=msk(src_s),
+        density_error=msk(derr_s),
+        omega=msk(omega_s, 1.0),
+        density=msk(rho_s, 1.0),
+        aii=msk(aii_s),
+        constant_field=msk(cf_s) if cf_s is not None else zeros_s,
+        h=msk(h_raw_s),
+        h_next=msk(hn_s) if hn_s is not None else msk(col("h_next")),
+        level=level_out,
+        has_level=has_out,
+        level_old=level_old_out,
+        size_class=msk(col("size_class")).astype(jnp.int32),
+        neighbor_count=(msk(ncount_s).astype(jnp.int32) if ncount_s is not None
+                        else jnp.zeros_like(alive_s, jnp.int32)),
+        flag_is_fluid_surface=surf_out,
+        flag_insufficient_neighs=insuf_out,
+        flag_neighborhood_reduced=(flag_reduced_s & alive_s
+                                   if flag_reduced_s is not None
+                                   else jnp.zeros_like(alive_s)),
+        alive=alive_s,
         time=state.time + dt,
         step_number=state.step_number + 1,
     )
+    if emit_prev_pos:
+        diag["pos_prev"] = msk(pos_s)
+    if halo is not None:
+        diag["_owned_sorted"] = owned_s
     return new_state, dt, diag
 
 

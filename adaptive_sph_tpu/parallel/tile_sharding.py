@@ -78,11 +78,12 @@ class SlabConfig:
 
 
 def make_slab_config(params: SimulationParams, gcfg: GridConfig, state: FluidState,
-                     ndev: int, tq: int = 32) -> SlabConfig:
-    """Derive the slab decomposition from the initial state.
+                     ndev: int, tq: int = 32, headroom: float = 2.0) -> SlabConfig:
+    """Derive the slab decomposition from the current state.
 
-    Slab edges are count-balancing quantiles of the initial x distribution
-    (static for the run); capacities carry 2x headroom.
+    Slab edges are count-balancing quantiles of the x distribution; capacities
+    carry `headroom`x margin (SlabSimulation grows it on overflow-triggered
+    reshards — compressed states need more row padding than the snapshot shows).
     """
     alive = np.asarray(state.alive)
     xs = np.sort(np.asarray(state.position)[alive, 0])
@@ -90,8 +91,6 @@ def make_slab_config(params: SimulationParams, gcfg: GridConfig, state: FluidSta
     # count-balanced interior edges; domain bounds from the global grid
     x0 = gcfg.origin[0]
     x1 = gcfg.origin[0] + gcfg.nx0 * gcfg.cell0
-    qs = [xs[min(int(n * k / ndev), n - 1)] for k in range(1, ndev)]
-    edges = tuple([x0] + [float(q) for q in qs] + [x1])
 
     if params.particle_sizes == ParticleSizes.Uniform:
         h_max = float(params.h)
@@ -103,13 +102,24 @@ def make_slab_config(params: SimulationParams, gcfg: GridConfig, state: FluidSta
     mscale = float(max_scale(params))
     halo_w = mscale * h_max * 1.25
 
-    min_slab = min(edges[d + 1] - edges[d] for d in range(ndev))
-    if min_slab < halo_w:
+    if (x1 - x0) < ndev * halo_w * 1.02:
         raise ValueError(
-            f"slab width {min_slab:.4f} < halo width {halo_w:.4f}: one-hop halo "
-            f"exchange needs every slab at least one interaction radius wide — "
-            f"use fewer devices for this scene (max ~{max(1, int((edges[-1] - edges[0]) / halo_w))})"
+            f"domain width {x1 - x0:.4f} < {ndev} x halo width {halo_w:.4f}: "
+            f"one-hop halo exchange needs every slab at least one interaction "
+            f"radius wide — use fewer devices for this scene "
+            f"(max ~{max(1, int((x1 - x0) / (halo_w * 1.02)))})"
         )
+    # count-balancing quantiles, clipped so every slab stays >= one halo width
+    # (a concentrated block — e.g. a dam column — would otherwise produce
+    # slivers); the count skew this introduces is absorbed by the 2x capacity
+    # headroom and corrected over time by rebalance_on_overflow resharding
+    qs = [float(xs[min(int(n * k / ndev), n - 1)]) for k in range(1, ndev)]
+    edges_l = [x0]
+    for d, q in enumerate(qs):
+        hi_room = x1 - (ndev - 1 - d) * halo_w * 1.02
+        edges_l.append(min(max(q, edges_l[-1] + halo_w * 1.02), hi_room))
+    edges_l.append(x1)
+    edges = tuple(edges_l)
 
     counts = []
     strips = []
@@ -118,8 +128,8 @@ def make_slab_config(params: SimulationParams, gcfg: GridConfig, state: FluidSta
         counts.append(int(np.sum((xs >= lo) & (xs < hi))))
         strips.append(int(np.sum((xs >= lo) & (xs < lo + halo_w))))
         strips.append(int(np.sum((xs < hi) & (xs >= hi - halo_w))))
-    c_dev = max(64, ((int(max(counts) * 2.0) + 16 * tq + 63) // 64) * 64)
-    strip = max(64, ((int(max(strips) * 2.5) + 8 * tq + 63) // 64) * 64)
+    c_dev = max(64, ((int(max(counts) * headroom) + 16 * tq + 63) // 64) * 64)
+    strip = max(64, ((int(max(strips) * headroom * 1.25) + 8 * tq + 63) // 64) * 64)
     c_loc = c_dev + 2 * strip
 
     # local grid: slab width + halo on both sides, dims divisible for the ladder
@@ -289,6 +299,19 @@ def make_slab_step_fn(params: SimulationParams, scfg: SlabConfig, boundary_handl
         lo_ok = jnp.where(dev == 0, True, xw >= x_lo)
         hi_ok = jnp.where(dev == ndev - 1, True, xw < x_hi)
         owned = w.alive & lo_ok & hi_ok
+        # RELAY: a particle kicked across MORE than one slab in a step (splash
+        # impulses can outrun the CFL locality bound) arrives here as a ghost
+        # whose x lies beyond my FAR edge. Its true owner never saw it and the
+        # sender drops it, so I adopt it for one step and forward it at the
+        # next exchange — exactly one keeper per particle by construction
+        # (the sender is not its owner, and only one neighbor received it).
+        row = jnp.arange(scfg.c_loc)
+        ghost_from_left = (row >= scfg.c_dev) & (row < scfg.c_dev + S)
+        ghost_from_right = row >= scfg.c_dev + S
+        relay = w.alive & (
+            (ghost_from_left & (xw >= x_hi)) | (ghost_from_right & (xw < x_lo))
+        )
+        owned = owned | relay
         # strip indices refer to the working set (local region occupies [0, c_dev))
         halo = HaloHooks(
             scfg, jnp.stack([x_lo - jnp.float32(halo_pad), jnp.float32(scfg.oy)]),
@@ -297,7 +320,7 @@ def make_slab_step_fn(params: SimulationParams, scfg: SlabConfig, boundary_handl
         new_w, dt, diag = single_step_tiles(w, params, scfg.tcfg, boundary_handler,
                                             halo=halo)
         # the step emits its state in SORTED order (models/tile_step.py
-        # emit_sorted); the ownership mask in that same order rides the diag
+        # sorted emission); the ownership mask in that same order rides the diag
         keep_owned = diag.pop("_owned_sorted")
         if resampling:
             from ..models import adaptivity as adapt
@@ -335,6 +358,11 @@ def make_slab_step_fn(params: SimulationParams, scfg: SlabConfig, boundary_handl
             step_number=new_w.step_number,
         )
         diag["shard_overflow"] = jax.lax.psum(ovL + ovR + ov_cap, AXIS)
+        diag["relay_count"] = jax.lax.psum(jnp.sum(relay), AXIS)
+        # adaptivity can coarsen particles until their interaction radius
+        # outgrows the halo strip — surfaced so SlabSimulation reshards
+        h_keep = jnp.where(keep, new_w.h, 0.0)
+        diag["halo_h_max"] = jax.lax.pmax(jnp.max(h_keep), AXIS)
         return new_local, diag
 
     from jax import shard_map
@@ -387,6 +415,86 @@ def shard_spatially(state: FluidState, scfg: SlabConfig, mesh: Mesh) -> FluidSta
         st,
     )
     return jax.tree.map(jax.device_put, st, shardings)
+
+
+class SlabSimulation:
+    """Host-side driver for the slab-sharded production step with DYNAMIC
+    REBALANCING — the spatial analogue of the runner's grow_capacity retry.
+
+    A step whose diagnostics report `shard_overflow` (strip/capacity spill) or
+    a halo outgrown by adaptivity-coarsened particles is DISCARDED (the carried
+    state never advanced), the slab edges are recomputed as count-balancing
+    quantiles of the CURRENT particle distribution (make_slab_config), the
+    state is resharded, the step recompiled, and the step retried. Static
+    quantiles of the initial state would otherwise fail on any scene whose
+    mass moves sideways (a dam break slumping into few slabs).
+    """
+
+    def __init__(self, params: SimulationParams, gcfg: GridConfig,
+                 boundary_handler, state: FluidState, mesh: Mesh, tq: int = 16,
+                 split_patterns=None):
+        self.params = params
+        self.gcfg = gcfg
+        self.boundary_handler = boundary_handler
+        self.mesh = mesh
+        self.ndev = mesh.devices.size
+        self.tq = tq
+        self.split_patterns = split_patterns
+        self.n_reshards = 0
+        self.headroom = 2.0
+        self.scfg = make_slab_config(params, gcfg, state, self.ndev, tq=tq)
+        self.sst = shard_spatially(state, self.scfg, mesh)
+        self._compile()
+
+    def _compile(self):
+        self.step_fn = make_slab_step_fn(
+            self.params, self.scfg, self.boundary_handler, self.mesh,
+            split_patterns=self.split_patterns,
+        )
+
+    @property
+    def time(self) -> float:
+        return float(self.sst.time)
+
+    def reshard(self):
+        """Recompute quantile edges/capacities from the current state and reshard."""
+        self.scfg = make_slab_config(self.params, self.gcfg, self.sst, self.ndev,
+                                     tq=self.tq, headroom=self.headroom)
+        self.sst = shard_spatially(self.sst, self.scfg, self.mesh)
+        self._compile()
+        self.n_reshards += 1
+
+    def step(self, _retries: int = 3):
+        new_sst, diag = self.step_fn(self.sst)
+        diag = jax.device_get(diag)
+        mscale = float(max_scale(self.params))
+        halo_ok = float(diag["halo_h_max"]) * mscale <= self.scfg.halo_w
+        ro, co, lo = (int(x) for x in diag["neighbor_overflow"])
+        wo = int(diag.get("wcache_overflow", 0))
+        capacity_blown = int(diag["shard_overflow"]) > 0 or ro > 0 or co > 0 or wo > 0
+        if capacity_blown or not halo_ok or lo > 0:
+            # the carried state never advanced: with sorted emission a row/strip
+            # overflow DROPS particles, so the failed step's output is discarded
+            # and the decomposition is rebuilt with more headroom
+            if _retries <= 0:
+                raise RuntimeError(
+                    f"slab step failed after reshards: shard_overflow="
+                    f"{int(diag['shard_overflow'])} rows={ro} cells={co} "
+                    f"levels={lo} wcache={wo} halo_ok={halo_ok}"
+                )
+            if capacity_blown:
+                self.headroom = min(self.headroom * 1.5, 16.0)
+            self.reshard()
+            return self.step(_retries=_retries - 1)
+        self.sst = jax.block_until_ready(new_sst)
+        return diag
+
+    def run_until(self, t_end: float, max_steps: int = 10**9) -> int:
+        steps = 0
+        while self.time < t_end and steps < max_steps:
+            self.step()
+            steps += 1
+        return steps
 
 
 def gather_alive(state: FluidState):

@@ -166,6 +166,40 @@ def main():
     )
     print(f"FULL STEP (scanned):      {t*1000:7.3f} ms")
 
+    # cold-start variant: the warm/cold iteration-count difference gives the
+    # IN-CONTEXT cost of one Jacobi iteration (accel+div streams + glue).
+    # Must run on an EVOLVED state — the initial state has zero pressure, so
+    # warm and cold are identical there.
+    import dataclasses as _dc
+
+    sim.step_chunk(24)
+    st = sim.state
+    simc = build_sim(replicas=1)
+    simc.params = _dc.replace(simc.params, warm_start_pressure=False)
+    from adaptive_sph_tpu.models.simulation import make_step_fn
+    step_c = make_step_fn(simc.params, simc.ncfg, simc.boundary_handler,
+                          grid_cfg=None, tile_cfg=simc.tile_cfg)
+    t = scan_time(
+        lambda s: sim.step_fn(s)[0],
+        st,
+        feedback=lambda o: jnp.sum(o.position).astype(jnp.float32) * 0.0,
+        iters=20,
+    )
+    print(f"FULL STEP (evolved st):   {t*1000:7.3f} ms")
+    dw = jax.device_get(sim.step_fn(st)[1])
+    dc = jax.device_get(step_c(st)[1])
+    iters_w = int(dw.get("div_iterations", 0)) + int(dw.get("density_iterations", 0))
+    iters_c = int(dc.get("div_iterations", 0)) + int(dc.get("density_iterations", 0))
+    tc = scan_time(
+        lambda s: step_c(s)[0],
+        st,
+        feedback=lambda o: jnp.sum(o.position).astype(jnp.float32) * 0.0,
+        iters=20,
+    )
+    print(f"FULL STEP cold-start:     {tc*1000:7.3f} ms  "
+          f"(iters {iters_c} vs {iters_w} warm -> "
+          f"{(tc-t)*1000/max(iters_c-iters_w,1):.3f} ms/Jacobi-iter in context)")
+
 
 if __name__ == "__main__":
     main()

@@ -4,6 +4,8 @@ Checks that the particle-sharded GSPMD step (parallel/sharding.py) executes and 
 numerically with the single-device step.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -120,6 +122,90 @@ def test_slab_sharded_tile_backend_matches_single_device(ndev):
     np.testing.assert_allclose(got["position"], ref["position"], atol=5e-5)
     np.testing.assert_allclose(got["velocity"], ref["velocity"], atol=5e-4)
     np.testing.assert_allclose(got["density"], ref["density"], rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+def test_slab_simulation_reshard_preserves_trajectory():
+    """SlabSimulation dynamic rebalancing: resharding mid-run (new quantile
+    edges + capacities + recompiled step) is semantically a no-op — the
+    multi-step trajectory matches the single-device run exactly."""
+    from jax.sharding import Mesh
+
+    from adaptive_sph_tpu.parallel import tile_sharding as ts
+    from adaptive_sph_tpu.runner import grid_config_for
+
+    scene = scene_mod.scene_from_dict(
+        {
+            "boundary": {"type": "box", "width": 2.0, "height": 2.0},
+            "blocks": [
+                {"pos": [-0.95, -0.5], "size": [1.2, 0.6], "spacing": 0.03,
+                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            ],
+        }
+    )
+    params = PARAMS.replace(
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        warm_start_pressure=True,
+    )
+    sim = create_simulation(params, scene, capacity=2048, backend="tiles")
+    gcfg = grid_config_for(sim.params, scene, sim.state, sim.state.capacity)
+    steps = 6
+    for _ in range(steps):
+        sim.step()
+    ref = ts.gather_alive(sim.state)
+
+    sim2 = create_simulation(params, scene, capacity=2048, backend="tiles")
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("p",))
+    ssim = ts.SlabSimulation(sim2.params, gcfg, sim2.boundary_handler, sim2.state,
+                             mesh, tq=16)
+    for k in range(steps):
+        if k == 3:
+            ssim.reshard()  # forced mid-run rebalance
+        ssim.step()
+    assert ssim.n_reshards >= 1
+    got = ts.gather_alive(ssim.sst)
+    assert got["position"].shape == ref["position"].shape
+    np.testing.assert_allclose(got["position"], ref["position"], atol=5e-5)
+    np.testing.assert_allclose(got["density"], ref["density"], rtol=1e-4)
+
+
+@pytest.mark.skipif(os.environ.get("ASPH_LONG_E2E") != "1",
+                    reason="set ASPH_LONG_E2E=1 (long)")
+def test_slab_dam_break_long_horizon_with_rebalancing():
+    """VERDICT r2 item 6 done-criterion: a dam-break slab run to t >= 1.0 s on
+    the 8-device mesh without overflow failure (resharding as needed)."""
+    from jax.sharding import Mesh
+
+    from adaptive_sph_tpu.parallel import tile_sharding as ts
+    from adaptive_sph_tpu.runner import grid_config_for
+
+    # single-spacing dam column (the reference default-scene mixes 0.03/0.06
+    # spacings for its ADAPTIVE config; under Uniform sizes the coarse block
+    # would be under-resolved at the fine h and blow up on any backend)
+    scene = scene_mod.scene_from_dict(
+        {
+            "boundary": {"type": "box", "width": 2, "height": 2},
+            "blocks": [
+                {"pos": [0.4, -0.5], "size": [0.55, 1.4], "spacing": 0.03,
+                 "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            ],
+        }
+    )
+    params = PARAMS.replace(
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        warm_start_pressure=True, max_dt=0.006,
+    )
+    sim = create_simulation(params, scene, backend="tiles")
+    gcfg = grid_config_for(sim.params, scene, sim.state, sim.state.capacity)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("p",))
+    mass0 = float(np.sum(np.asarray(sim.state.mass)[np.asarray(sim.state.alive)]))
+    ssim = ts.SlabSimulation(sim.params, gcfg, sim.boundary_handler, sim.state,
+                             mesh, tq=16)
+    steps = ssim.run_until(1.0, max_steps=900)
+    assert ssim.time >= 1.0, f"only reached t={ssim.time} in {steps} steps"
+    alive = np.asarray(ssim.sst.alive)
+    mass1 = float(np.sum(np.asarray(ssim.sst.mass)[alive]))
+    assert abs(mass1 - mass0) / mass0 < 1e-4
 
 
 _ADAPT_SCENE = scene_mod.scene_from_dict(

@@ -343,6 +343,67 @@ def test_tile_post_advection_centerdiff_matches_lists():
     _diff_vs_lists(params, _dam_scene(spacing2=0.08), steps=3, check_levels=True)
 
 
+def test_tile_neighborhood_constraint_exact_vs_bruteforce():
+    """constrain_neighborhood_count on the tile engine: the bisection-selected
+    k-th-largest fringe equals a brute-force all-neighbor sort (the reference's
+    per-particle semantics, simulation.rs:2145-2177) — including at the 50:1
+    interface where the list backend's forward-row approximation is inexact."""
+    from scipy.spatial import cKDTree
+
+    from adaptive_sph_tpu.ops import kernels
+    from adaptive_sph_tpu.models.state import h_from_mass_np
+
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Adaptive,
+        constrain_neighborhood_count=True,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    scene = _dam_scene(spacing2=0.03)  # 2:1 spacing -> mixed-level interface
+    sim = create_simulation(params, scene, backend="auto")
+    assert sim.backend == "tiles", "constraint must run on the tile engine now"
+
+    st0 = sim.state
+    alive = np.asarray(st0.alive)
+    pos = np.asarray(st0.position)[alive]
+    h0 = h_from_mass_np(np.asarray(st0.mass)[alive], params.rest_density, 2)
+    srbs = float(kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH)
+
+    # brute-force oracle on the initial state (the constraint runs before
+    # advection, so entry positions/h are what it sees)
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    hij = 0.5 * (h0[:, None] + h0[None, :])
+    nbmask = d2 < (srbs * hij) ** 2
+    target = int(kernels.optimal_neighbor_number(2)) + 5
+    counts = nbmask.sum(1)
+    want_h = h0.copy()
+    want_need = counts > target
+    r = np.sqrt(d2)
+    for i in np.where(want_need)[0]:
+        fr = np.sort(2.0 * r[i, nbmask[i]] - srbs * h0[nbmask[i]])[::-1]
+        want_h[i] = max(fr[counts[i] - target], 0.0)
+
+    d = sim.step()
+    st1 = sim.state
+    a1 = np.asarray(st1.alive)
+    p1 = np.asarray(st1.position)[a1]
+    # match emitted (sorted-order) particles back to entry order by where they
+    # started: pos_prev... positions advect within the step, so match h via
+    # the constrained-h-is-entry-h relation instead: re-run ONE step on a
+    # zero-velocity, zero-gravity copy so positions stay put
+    params2 = params.replace(gravity=0.0, max_dt=1e-6)
+    sim2 = create_simulation(params2, scene, backend="tiles")
+    sim2.step()
+    st2 = sim2.state
+    a2 = np.asarray(st2.alive)
+    p2 = np.asarray(st2.position)[a2]
+    dd, j = cKDTree(p2).query(pos, k=1)
+    assert dd.max() < 1e-4
+    got_h = np.asarray(st2.h)[a2][j]
+    got_flag = np.asarray(st2.flag_neighborhood_reduced)[a2][j]
+    np.testing.assert_array_equal(got_flag, want_need)
+    np.testing.assert_allclose(got_h, want_h, rtol=2e-5, atol=1e-7)
+
+
 def test_weight_cache_bf16_converges():
     # opt-in bf16 weight-block storage: every solve still reaches its avg-error
     # tolerance (against the rounded operator) and the trajectory stays close
