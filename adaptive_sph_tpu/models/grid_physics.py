@@ -169,6 +169,37 @@ def boundary_accel_slots(G, pressure, rho, bt_kind: str, params: SimulationParam
     return G * coeff[:, None]
 
 
+def boundary_accel_slots_1d(Gx, Gy, pressure, rho, bt_kind: str,
+                            params: SimulationParams):
+    """boundary_accel_slots on channel-split 1-D arrays (dense VPU lanes; the
+    (C, 2) form runs elementwise chains at 2/128 lane efficiency)."""
+    if bt_kind == "none":
+        return 0.0, 0.0
+    rho_b = params.rest_density
+    od = params.operator_discretization
+    if bt_kind == "sdf":
+        mirror = 1.0 if od == OperatorDiscretization.ConsistentSymmetricGradient else 0.0
+    else:
+        mirror = 0.0 if od == OperatorDiscretization.ConsistentSimpleGradient else 1.0
+    coeff = -(pressure / jnp.maximum(rho * rho, 1e-30) + mirror * pressure / (rho_b**2))
+    if bt_kind == "sdf":
+        coeff = coeff * rho_b
+    return Gx * coeff, Gy * coeff
+
+
+def boundary_div_slots_1d(Gx, Gy, qx, qy, rho, bt_kind: str,
+                          params: SimulationParams):
+    """boundary_div_slots (with qb = 0) on channel-split 1-D arrays."""
+    if bt_kind == "none":
+        return 0.0
+    dq_dot = -(qx * Gx + qy * Gy)
+    if bt_kind == "sdf":
+        if params.operator_discretization == OperatorDiscretization.Winchenbach2020:
+            return dq_dot
+        return dq_dot * (params.rest_density / jnp.maximum(rho, 1e-30))
+    return dq_dot / jnp.maximum(rho, 1e-30)
+
+
 def boundary_div_slots(G, q, qb, rho, bt_kind: str, params: SimulationParams):
     if bt_kind == "none":
         return 0.0

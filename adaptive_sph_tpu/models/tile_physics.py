@@ -298,7 +298,9 @@ def h_vw_sum_op(params: SimulationParams):
 def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
                 params: SimulationParams, dt, rho, p0=None,
                 psum=lambda x: x, pmax=lambda x: x) -> SolveResult:
-    """accel_fn(p) -> (C,2); div_fn(accel) -> (C,); both include boundary terms.
+    """accel_fn(p) -> (ax (C,), ay (C,)); div_fn(ax, ay) -> (C,); both include
+    boundary terms. Channel-split 1-D arrays keep every elementwise chain on
+    dense VPU lanes (see models/tile_step.py).
 
     p0: optional warm-start pressure (params.warm_start_pressure); the reference
     cold-starts at zero (simulation.rs:1143/1169/1190).
@@ -311,8 +313,7 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     w = jnp.float32(params.jacobi_omega)
 
     def one_sweep(p):
-        accel = accel_fn(p)
-        a_p = div_fn(accel)
+        a_p = div_fn(*accel_fn(p))
         p_next = p + w * (src - a_p) / aii_safe
         p_next = jnp.where(singular, 0.0, p_next)
         if residual_type == DENSITY_ERROR:
@@ -370,7 +371,7 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         density_error=jnp.zeros(total, jnp.float32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    final_accel = accel_fn(out["pressure"])
+    final_accel = jnp.stack(accel_fn(out["pressure"]), axis=-1)
     return SolveResult(
         pressure=out["pressure"],
         pressure_accel=final_accel,

@@ -363,44 +363,55 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # step's frozen geometry, so they are cached ONCE (ops/pallas_matvec.py) and
     # every Jacobi sweep becomes diag terms + two streamed matvecs; the diagonal
     # gradient sums S1/S2 come from the fused prep sweep above.
-    zero_q = jnp.zeros(2, jnp.float32)
+    # accel_fn/div_fn operate on CHANNEL-SPLIT 1-D arrays: accel_fn(p) returns
+    # (ax, ay), div_fn takes (qx, qy). 1-D f32 arrays tile DENSE (T(1024));
+    # interleaved (C, 2) intermediates tile (8, 128) with 2/128 lanes used, and
+    # the profiler showed every elementwise chain on them costing 40-90 us.
+    Gx_s, Gy_s = G_s[:, 0], G_s[:, 1]
     if use_wcache:
         from ..ops.pallas_matvec import weight_matvec
 
         rho_inv = 1.0 / jnp.maximum(rho_s, 1e-30)
-        S1 = sums["mj_wij"]
-        S2 = sums["mj_by_rhoj_wij"]
+        s1x, s1y = sums["mj_wij"][:, 0], sums["mj_wij"][:, 1]
+        s2x, s2y = sums["mj_by_rhoj_wij"][:, 0], sums["mj_by_rhoj_wij"][:, 1]
 
         def accel_fn(p):
-            p = refresh(p[:, None])[:, 0]
+            p = refresh(p)
             u = p * rho_inv * rho_inv
-            mv = weight_matvec(wcache, wmeta_blocks, wcnt, u[:, None], tcfg.tq, k_out=2)
-            a = -(u[:, None] * S1) - mv
-            return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
+            mvx, mvy = weight_matvec(wcache, wmeta_blocks, wcnt, u[:, None],
+                                     tcfg.tq, k_out=2)
+            bx, by = gp.boundary_accel_slots_1d(Gx_s, Gy_s, p, rho_s, bt.kind, params)
+            return -u * s1x - mvx + bx, -u * s1y - mvy + by
 
-        def div_fn(q):
-            q = refresh(q)
+        def div_fn(qx, qy):
+            # ghost rows must be refreshed BEFORE the matvec (neighbors read
+            # them); the i-indexed dot terms below only ever feed owned rows,
+            # so they can use the pre-refresh values. One stacked ppermute.
+            t = refresh(jnp.stack([qx, qy], axis=1))
             if w2020:
-                t = q * rho_inv[:, None]
-                s = weight_matvec(wcache, wmeta_blocks, wcnt, t, tcfg.tq, k_out=1)[:, 0]
-                s = s - jnp.sum(q * S2, axis=1)
+                s = weight_matvec(wcache, wmeta_blocks, wcnt, t * rho_inv[:, None],
+                                  tcfg.tq, k_out=1)
+                s = s - (qx * s2x + qy * s2y)
             else:
-                s = weight_matvec(wcache, wmeta_blocks, wcnt, q, tcfg.tq, k_out=1)[:, 0]
-                s = (s - jnp.sum(q * S1, axis=1)) * rho_inv
-            return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
+                s = weight_matvec(wcache, wmeta_blocks, wcnt, t, tcfg.tq, k_out=1)
+                s = (s - (qx * s1x + qy * s1y)) * rho_inv
+            return s + gp.boundary_div_slots_1d(Gx_s, Gy_s, qx, qy, rho_s,
+                                                bt.kind, params)
 
     else:
         def accel_fn(p):
-            p = refresh(p[:, None])[:, 0]
-            a = sweep(tp.accel_op(), _stack(rho_s, p), pscale)[:, 0:2]
-            return a + gp.boundary_accel_slots(G_s, p, rho_s, bt.kind, params)
+            p = refresh(p)
+            a = sweep(tp.accel_op(), _stack(rho_s, p), pscale)
+            bx, by = gp.boundary_accel_slots_1d(Gx_s, Gy_s, p, rho_s, bt.kind, params)
+            return a[:, 0] + bx, a[:, 1] + by
 
-        def div_fn(q):
-            q = refresh(q)
+        def div_fn(qx, qy):
+            q = refresh(jnp.stack([qx, qy], axis=1))
             s = sweep(tp.div_op(w2020), _stack(rho_s, q[:, 0], q[:, 1]), pscale)[:, 0]
             if not w2020:
                 s = s / jnp.maximum(rho_s, 1e-30)
-            return s + gp.boundary_div_slots(G_s, q, zero_q, rho_s, bt.kind, params)
+            return s + gp.boundary_div_slots_1d(Gx_s, Gy_s, qx, qy, rho_s,
+                                                bt.kind, params)
 
     p_prev_s = col("pressure") if warm else None
     pdiv_prev_s = col("pressure_div") if warm else None
@@ -418,7 +429,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         return v + dt * finish_nonpressure(visc)
 
     def src_full(v):
-        div_v = div_fn(v)
+        div_v = div_fn(v[:, 0], v[:, 1])
         next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
         return -(params.rest_density - rho_s) / (next_rho * dt * dt) - div_v / dt
 
@@ -450,7 +461,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         vel2_s = nonpressure(vel_s)
         if method == PressureSolverMethod.IISPH2:
             src = -(params.rest_density - rho_s) / (params.rest_density * dt * dt) - (
-                div_fn(vel2_s) / (dt * omega_s)
+                div_fn(vel2_s[:, 0], vel2_s[:, 1]) / (dt * omega_s)
             )
         else:
             src = src_full(vel2_s)
@@ -463,7 +474,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         accel_sv = res.pressure_accel
         if method == PressureSolverMethod.IISPH2:
             pressure_s = pressure_s / jnp.sqrt(omega_s)
-            accel_sv = accel_fn(pressure_s)
+            accel_sv = jnp.stack(accel_fn(pressure_s), axis=-1)
         vel2_s = vel2_s + dt * accel_sv
         pos2_s = pos2_s + dt * vel2_s
         diag["density_iterations"] = res.iterations
@@ -474,7 +485,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     elif method == PressureSolverMethod.OnlyDivergence:
         vel2_s = nonpressure(vel_s)
-        src = -div_fn(vel2_s) / dt
+        src = -div_fn(vel2_s[:, 0], vel2_s[:, 1]) / dt
         res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
                      p0=p_prev_s if warm else None)
         vel2_s = vel2_s + dt * res.pressure_accel
@@ -488,7 +499,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     else:  # HybridDFSPH
         if params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
             vel2_s = nonpressure(vel_s)
-        src = -div_fn(vel2_s) / dt
+        src = -div_fn(vel2_s[:, 0], vel2_s[:, 1]) / dt
         res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
                          p0=pdiv_prev_s if warm else None)
         vel2_s = vel2_s + dt * res_div.pressure_accel

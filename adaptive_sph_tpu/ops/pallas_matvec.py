@@ -308,8 +308,13 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, out_ref, scratch, sem,
 def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=None):
     """meta = packed (tile << META_SHIFT) | anchor from the builders.
 
-    t_sorted: flat (C, k_in) values in SORTED order. Returns flat (C, k_out)
-    (one (NT,k,tq) -> (C,k) transpose at the end when k_out > 1).
+    t_sorted: flat (C, k_in) values in SORTED order. Returns CHANNEL-MAJOR 1-D
+    arrays: a (C,) array for k_out=1, a tuple (out_x (C,), out_y (C,)) for
+    k_out=2. The kernel's (NT, ch, TQ) output reshapes to (C,) per channel with
+    ZERO relayout (flat index = tile*TQ + lane), and 1-D f32 arrays tile DENSE
+    on the VPU (T(1024)) — the old interleaved (C, 2) form tiled as (8, 128)
+    with 2/128 lanes used, which made every downstream elementwise fusion run
+    at <2% lane efficiency (profiled at 40-90 us per trivial chain).
     """
     C = t_sorted.shape[0]
     if t_sorted.ndim == 1:
@@ -344,8 +349,8 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         ),
     )(cnt, meta, weights, t_sorted)
     if k_out == 1:
-        return out[:, 0, :].reshape(C, 1)
-    return jnp.swapaxes(out[:, 0:k_out, :], 1, 2).reshape(C, k_out)
+        return out[:, 0, :].reshape(C)
+    return out[:, 0, :].reshape(C), out[:, 1, :].reshape(C)
 
 
 def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
