@@ -147,6 +147,10 @@ def cmd_run(args):
 
             save_state(args.checkpoint, sim.state)
         if args.statistics_enabled:
+            if sim.params.profile_stages:
+                from .utils.profiling import profile_sections
+
+                profile_sections(sim)
             s = stats_mod.write_statistics(sim.counters)
             print(s, end="")
             if args.statistics_path:

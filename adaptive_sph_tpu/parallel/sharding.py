@@ -8,8 +8,14 @@ neighbor-structure gathers, reduce-scatters for segment sums, all-reduces for th
 min and solver statistics) over ICI.
 
 This follows the canonical recipe: pick a mesh, annotate shardings, let the compiler
-place collectives. Spatial domain sharding with halo exchange (shard_map + ppermute)
-is the planned optimization for multi-chip scaling beyond this baseline.
+place collectives. It is the COMPATIBILITY fallback, not the scaling path: the
+neighbor-structure gathers make GSPMD all-gather the particle arrays, so per-step
+communication grows with total N (effectively replicated compute with sharded
+storage). The production multi-chip path is spatial slab sharding with explicit
+ppermute halo exchange (`parallel/tile_sharding.py`, `SlabSimulation`), used
+whenever the config runs on the tile engine; this module covers the remaining
+configs (e.g. `constrain_neighborhood_count`) so every feature has a multi-chip
+story, at fallback performance.
 """
 
 from __future__ import annotations

@@ -194,6 +194,10 @@ def _export_one(cfg: dict, base_dir: str):
                 )
 
     if cfg.get("output_stats"):
+        if sim.params.profile_stages:
+            from .profiling import profile_sections
+
+            profile_sections(sim)
         out = os.path.join(base_dir, cfg["png_file"] + ".stat")
         with open(out, "w") as f:
             f.write(stats_mod.write_statistics(sim.counters))

@@ -192,6 +192,13 @@ class SimulationParams:
     # the rounded operator); off by default — f32 matches the reference's
     # numerics and the cross-backend differential tests.
     weight_cache_bf16: bool = False
+    # emit the reference's per-stage PerformanceCounters sections
+    # (simulation.rs:1993-2069: neighborhood, level-estimation, div-solver,
+    # density-solver, adaptivity) into the .stat dump. On TPU the step is ONE
+    # fused XLA program, so these are measured post-run as knockout/piecewise
+    # differentials of the production step (utils/profiling.py), which costs a
+    # few extra step compiles — opt-in.
+    profile_stages: bool = False
 
     def level_estimation_active(self) -> bool:
         if self.level_estimation_method == LevelEstimationMethod.NoneMethod:

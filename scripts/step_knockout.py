@@ -15,72 +15,13 @@ Usage: python scripts/step_knockout.py
 """
 
 import sys
-import time
-
-import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-
-def scan_time(fn, st, iters=20):
-    """Differential cost of one fn(st) inside a scanned dispatch (see
-    tile_timing.py: tunnel dispatch latency cancels between 1x and 3x scans)."""
-
-    def make(length):
-        @jax.jit
-        def run(s0):
-            def body(carry, _):
-                s = carry
-                out = fn(s)[0]
-                return out, None
-
-            final, _ = jax.lax.scan(body, s0, None, length=length)
-            return final
-
-        return run
-
-    short, long = make(iters), make(3 * iters)
-    jax.block_until_ready(short(st))
-    jax.block_until_ready(long(st))
-    t0 = time.perf_counter()
-    jax.block_until_ready(short(st))
-    t1 = time.perf_counter()
-    jax.block_until_ready(long(st))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (2 * iters)
-
-
-def make_fixed_jacobi(k: int, final_accel: bool):
-    from adaptive_sph_tpu.models.solver import SolveResult
-    from adaptive_sph_tpu.models import tile_physics as tp
-
-    def fixed_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error,
-                     residual_type, params, dt, rho, p0=None,
-                     psum=lambda x: x, pmax=lambda x: x):
-        total = aii.shape[0]
-        singular = jnp.abs(aii) < 1e-10
-        aii_safe = jnp.where(singular, 1.0, aii)
-        w = jnp.float32(params.jacobi_omega)
-        p = jnp.zeros(total, jnp.float32) if p0 is None else jnp.maximum(p0, 0.0)
-
-        def body(p, _):
-            a_p = div_fn(accel_fn(p))
-            p_next = jnp.maximum(p + w * (src - a_p) / aii_safe, 0.0)
-            return jnp.where(singular, 0.0, p_next), None
-
-        if k > 0:
-            p, _ = jax.lax.scan(body, p, None, length=k)
-        fa = accel_fn(p) if final_accel else jnp.zeros((total, 2), jnp.float32)
-        z = jnp.zeros(total, jnp.float32)
-        return SolveResult(
-            pressure=p, pressure_accel=fa, density_error=z,
-            iterations=jnp.int32(k), avg_error=jnp.float32(0.0),
-            max_error=jnp.float32(0.0), normal_count=jnp.int32(0),
-            singular_count=jnp.int32(0), negative_count=jnp.int32(0),
-        )
-
-    return fixed_jacobi
+from adaptive_sph_tpu.utils.profiling import (  # noqa: E402
+    _fixed_jacobi as make_fixed_jacobi,
+    scan_time_step as scan_time,
+)
 
 
 def main():

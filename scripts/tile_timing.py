@@ -15,50 +15,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-ITERS = 50
+sys.path.insert(0, ".")
 
-
-def scan_time(fn, *args, iters=ITERS, feedback=None):
-    """Differential cost of one fn(*args) inside a scanned dispatch.
-
-    Times scans of length `iters` and `3*iters` and returns
-    (t_long - t_short) / (2*iters): per-dispatch tunnel latency cancels.
-    feedback: optional (out -> scalar f32) used to perturb args[0] each
-    iteration (x * (1 + 0*s)) so the body can't be hoisted.
-    """
-
-    def dep_scalar(out):
-        leaf = jax.tree.leaves(out)[0]
-        return jnp.sum(leaf).astype(jnp.float32) * 0.0
-
-    fb = feedback or dep_scalar
-
-    def make(length):
-        @jax.jit
-        def run(*a):
-            def body(carry, _):
-                s = carry
-                a0p = jax.tree.map(
-                    lambda x: x * (1.0 + s) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                    a[0],
-                )
-                out = fn(a0p, *a[1:])
-                return fb(out), None
-
-            final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
-            return final
-
-        return run
-
-    short, long = make(iters), make(3 * iters)
-    jax.block_until_ready(short(*args))
-    jax.block_until_ready(long(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(short(*args))
-    t1 = time.perf_counter()
-    jax.block_until_ready(long(*args))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (2 * iters)
+from adaptive_sph_tpu.utils.profiling import scan_time  # noqa: E402
 
 
 def main():
@@ -143,14 +102,16 @@ def main():
 
     p = jnp.ones((tcfg.capacity,), jnp.float32)
     t = scan_time(
-        lambda v, w, m, c: weight_matvec(w, m, c, v[:, None], tcfg.tq, k_out=2),
+        lambda v, w, m, c: weight_matvec(w, m, c, v[:, None], tcfg.tq, k_out=2)[0],
         p, wc, wmb, wcnt,
     )
     print(f"matvec accel (k_out=2):   {t*1000:7.3f} ms")
 
-    q = jnp.ones((tcfg.capacity, 2), jnp.float32)
+    q = jnp.ones((tcfg.capacity,), jnp.float32)
     t = scan_time(
-        lambda v, w, m, c: weight_matvec(w, m, c, v, tcfg.tq, k_out=1),
+        # includes the (C,) x2 -> (C, 2) table stack like the production div_fn
+        lambda v, w, m, c: weight_matvec(w, m, c, jnp.stack([v, v], axis=1),
+                                         tcfg.tq, k_out=1),
         q, wc, wmb, wcnt,
     )
     print(f"matvec div (k_out=1):     {t*1000:7.3f} ms")
