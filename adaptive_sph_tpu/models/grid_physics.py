@@ -148,6 +148,41 @@ def assemble_aii(sums, sf, bst_G_slots, bt_kind: str, params: SimulationParams):
     return jnp.sum(lhs * mj_wij, -1) / rho_i + mi * mj_wij_sq / rho_i_cu
 
 
+def assemble_aii_1d(s1x, s1y, s1sq, s2x, s2y, s2sq, sf, Gx, Gy, bt_kind: str,
+                    params: SimulationParams):
+    """assemble_aii on channel-split 1-D arrays (dense VPU lanes; the (C, 2)
+    form pads 2 -> 128 lanes). s1* = sum m_j gradW_ij (+ |.|^2), s2* = the
+    rho_j-weighted variants; Gx/Gy the factored boundary vector."""
+    rho_i = jnp.maximum(sf["rho"], 1e-30)
+    rho_i_sq = rho_i * rho_i
+    rho_i_cu = rho_i_sq * rho_i
+    rho_b = params.rest_density
+    od = params.operator_discretization
+    mi = sf["mass"]
+
+    if bt_kind == "particles":
+        p_ib_coeff = 0.0 if od == OperatorDiscretization.ConsistentSimpleGradient else 1.0
+        lx = s1x / rho_i_sq + Gx / rho_i_sq + Gx * (p_ib_coeff / (rho_b**2))
+        ly = s1y / rho_i_sq + Gy / rho_i_sq + Gy * (p_ib_coeff / (rho_b**2))
+        return (lx * (s1x + Gx) + ly * (s1y + Gy)) / rho_i + mi * s1sq / rho_i_cu
+
+    if bt_kind == "sdf":
+        if od == OperatorDiscretization.Winchenbach2020:
+            sb = rho_b / rho_i_sq
+            lx = s1x / rho_i_sq + Gx * sb
+            ly = s1y / rho_i_sq + Gy * sb
+            return lx * (s2x + Gx) + ly * (s2y + Gy) + mi * s2sq / rho_i_sq
+        p_ib_coeff = 1.0 if od == OperatorDiscretization.ConsistentSymmetricGradient else 0.0
+        sb = rho_b * (1.0 / rho_i_sq + p_ib_coeff / (rho_b**2))
+        lx = s1x / rho_i_sq + Gx * sb
+        ly = s1y / rho_i_sq + Gy * sb
+        rx = (s1x + Gx * rho_b) / rho_i
+        ry = (s1y + Gy * rho_b) / rho_i
+        return lx * rx + ly * ry + mi * s1sq / rho_i_cu
+
+    return (s1x * s1x + s1y * s1y) / (rho_i_sq * rho_i) + mi * s1sq / rho_i_cu
+
+
 def aii_slots(cfg, bins, sf, scale, bst_G_slots, bt_kind: str, params: SimulationParams):
     """Standalone a_ii (used when the fused prep sweep is not applicable)."""
     sums = aii_sums_slots(cfg, bins, sf, scale, params)

@@ -300,7 +300,8 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
                 psum=lambda x: x, pmax=lambda x: x) -> SolveResult:
     """accel_fn(p) -> (ax (C,), ay (C,)); div_fn(ax, ay) -> (C,); both include
     boundary terms. Channel-split 1-D arrays keep every elementwise chain on
-    dense VPU lanes (see models/tile_step.py).
+    dense VPU lanes (see models/tile_step.py). The returned
+    SolveResult.pressure_accel is likewise an (ax, ay) tuple.
 
     p0: optional warm-start pressure (params.warm_start_pressure); the reference
     cold-starts at zero (simulation.rs:1143/1169/1190).
@@ -371,7 +372,10 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         density_error=jnp.zeros(total, jnp.float32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    final_accel = jnp.stack(accel_fn(out["pressure"]), axis=-1)
+    # pressure_accel stays CHANNEL-SPLIT (ax, ay) so the caller's integration
+    # chains run on dense 1-D lanes too (stacking here would relayout to the
+    # 2/128-lane (C, 2) tiling this path exists to avoid)
+    final_accel = accel_fn(out["pressure"])
     return SolveResult(
         pressure=out["pressure"],
         pressure_accel=final_accel,

@@ -134,6 +134,9 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     def col(name):
         a, b = col_ix[name]
         return allsorted[:, a] if b - a == 1 else allsorted[:, a:b]
+
+    def colk(name, k):
+        return allsorted[:, col_ix[name][0] + k]
     st = allsorted[:, 0:4]
     wm = window_meta(tcfg, bins, st, origin=origin)
     alive_s = st[:, 2] > 0.0
@@ -143,11 +146,15 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     else:
         owned_s = alive_s
         refresh = lambda v: v
+    # per-particle fields as CHANNEL-SPLIT 1-D arrays: (C,) f32 tiles DENSE
+    # (T(1024)) while interleaved (C, 2) tiles (8, 128) with 2/128 lanes used —
+    # the profiler showed every elementwise chain on (C, 2) costing 40-90 us
     pos_s = st[:, 0:2]
+    px_s, py_s = st[:, 0], st[:, 1]
     h_s = st[:, 2]
     mass_s = st[:, 3]
     h_raw_s = col("h_raw")
-    vel_s = col("vel")
+    vx_s, vy_s = colk("vel", 0), colk("vel", 1)
 
     pscale = float(physics_scale(params))
     ext_scale = float(params.level_estimation_range / kernels.ETA)
@@ -159,7 +166,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     h_safe = jnp.maximum(h_raw_s, 1e-6)
     bt = boundary_handler.update_after_advect(pos_s, h_safe, params)
     bst = bnd.solver_terms(bt, pos_s, h_safe, params)
-    G_s = jnp.where(alive_s[:, None], bst.G, 0.0)
+    Gx_s = jnp.where(alive_s, bst.G[:, 0], 0.0)
+    Gy_s = jnp.where(alive_s, bst.G[:, 1], 0.0)
     bdens_s = jnp.where(alive_s, bnd.density_boundary_term(bt, pos_s, h_safe, params), 0.0)
     dist_b = bnd.distance_to_boundary(bt)
     lam = bnd.lambda_sum(bt)
@@ -236,7 +244,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         h_safe = jnp.maximum(h_raw_s, 1e-6)
         bt = boundary_handler.update_after_advect(pos_s, h_safe, params)
         bst = bnd.solver_terms(bt, pos_s, h_safe, params)
-        G_s = jnp.where(alive_s[:, None], bst.G, 0.0)
+        Gx_s = jnp.where(alive_s, bst.G[:, 0], 0.0)
+        Gy_s = jnp.where(alive_s, bst.G[:, 1], 0.0)
         bdens_s = jnp.where(
             alive_s, bnd.density_boundary_term(bt, pos_s, h_safe, params), 0.0
         )
@@ -246,7 +255,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if flag_reduced_s is not None:
         # the constraint changed h in sorted space — reduce there
         sr_s = h_raw_s * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
-        v2s = jnp.sum(vel_s * vel_s, -1)
+        v2s = vx_s * vx_s + vy_s * vy_s
         val = jnp.where(alive_s & owned_s, sr_s * sr_s / (v2s + 0.01), jnp.inf)
     else:
         sr = h_eff * kernels.SUPPORT_RADIUS_BY_SMOOTHING_LENGTH
@@ -275,15 +284,17 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         or params.hybrid_dfsph_non_pressure_accel_before_divergence_free
     )
 
-    def finish_nonpressure(visc):
-        accel = visc + jnp.asarray(params.gravity_vector(2), jnp.float32)[None, :]
+    def finish_nonpressure(viscx, viscy):
+        g = params.gravity_vector(2)
+        ax = viscx + jnp.float32(g[0])
+        ay = viscy + jnp.float32(g[1])
         if params.pull_fluid_to is not None:
-            target = jnp.asarray(params.pull_fluid_to[:2], jnp.float32)
-            d = target[None, :] - pos_s
-            accel = accel + d / jnp.maximum(
-                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9
-            ) * 13.0
-        return accel
+            dx = jnp.float32(params.pull_fluid_to[0]) - px_s
+            dy = jnp.float32(params.pull_fluid_to[1]) - py_s
+            inv = 13.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1e-9)
+            ax = ax + dx * inv
+            ay = ay + dy * inv
+        return ax, ay
 
     sf_like = {"rho": rho_s, "mass": mass_s, "h": h_s}
 
@@ -306,7 +317,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             vm = "laplace"
         else:
             vm = "none"
-        dyn3 = _stack(rho_s, vel_s[:, 0], vel_s[:, 1])
+        dyn3 = _stack(rho_s, vx_s, vy_s)
         wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
             tcfg, bins, st, dyn3, pscale, tcfg.b_max, vm, params.viscosity,
             wmeta=wm,
@@ -314,20 +325,23 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         )
         diag["wcache_overflow"] = psum(wcnt[1])
     elif first_np_at_start:
-        res = sweep(tp.prep_op(params), _stack(rho_s, vel_s[:, 0], vel_s[:, 1]), pscale)
+        res = sweep(tp.prep_op(params), _stack(rho_s, vx_s, vy_s), pscale)
     else:
         res = sweep(tp.aii_sums_op(), _stack(rho_s), pscale)
 
-    sums = {
-        "mj_wij": res[:, 0:2],
-        "mj_wij_sq": res[:, 2],
-        "mj_by_rhoj_wij": res[:, 3:5],
-        "mj_by_rhoj_wij_sq": res[:, 5],
-    }
-    aii_s = gp.assemble_aii(sums, sf_like, G_s, bt.kind, params)
+    # a_ii sums as channel-split 1-D slices (s1 = sum m_j gradW_ij, s2 = the
+    # rho_j-weighted variant, *sq their squared-norm sums)
+    s1x, s1y, s1sq = res[:, 0], res[:, 1], res[:, 2]
+    s2x, s2y, s2sq = res[:, 3], res[:, 4], res[:, 5]
+    aii_s = gp.assemble_aii_1d(s1x, s1y, s1sq, s2x, s2y, s2sq, sf_like,
+                               Gx_s, Gy_s, bt.kind, params)
     if first_np_at_start:
-        visc0 = res[:, 6:8] if res.shape[1] >= 8 else jnp.zeros_like(vel_s)
-        first_np_vel = vel_s + dt * finish_nonpressure(visc0)
+        if res.shape[1] >= 8:
+            v0x, v0y = res[:, 6], res[:, 7]
+        else:
+            v0x = v0y = jnp.zeros_like(rho_s)
+        ax0, ay0 = finish_nonpressure(v0x, v0y)
+        first_np_vel = (vx_s + dt * ax0, vy_s + dt * ay0)
     else:
         first_np_vel = None
     aii_s = jnp.where(alive_s, aii_s, 0.0)
@@ -339,20 +353,18 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         # (simulation.rs:1324-1375): one extra SweepOp instead of falling back
         # to the list backend. acc_self = accel of the unit self pressure.
         rr2 = jnp.maximum(rho_s * rho_s, 1e-30)
-        bacc_unit = gp.boundary_accel_slots(
-            G_s, jnp.ones_like(rho_s), rho_s, bt.kind, params
+        bux, buy = gp.boundary_accel_slots_1d(
+            Gx_s, Gy_s, jnp.ones_like(rho_s), rho_s, bt.kind, params
         )
-        acc_self = -sums["mj_wij"] / rr2[:, None] + bacc_unit
+        acsx = -s1x / rr2 + bux
+        acsy = -s1y / rr2 + buy
         fluid_div = sweep(
-            tp.check_aii_op(w2020),
-            _stack(rho_s, acc_self[:, 0], acc_self[:, 1]),
-            pscale,
+            tp.check_aii_op(w2020), _stack(rho_s, acsx, acsy), pscale
         )[:, 0]
         if not w2020:
             fluid_div = fluid_div / jnp.maximum(rho_s, 1e-30)
-        zero2 = jnp.zeros(2, jnp.float32)
-        aii_real = fluid_div + gp.boundary_div_slots(
-            G_s, acc_self, zero2, rho_s, bt.kind, params
+        aii_real = fluid_div + gp.boundary_div_slots_1d(
+            Gx_s, Gy_s, acsx, acsy, rho_s, bt.kind, params
         )
         diag["aii_deviation"] = pmax(
             jnp.max(jnp.where(owned_s & alive_s, jnp.abs(aii_real - aii_s), 0.0))
@@ -367,13 +379,10 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # (ax, ay), div_fn takes (qx, qy). 1-D f32 arrays tile DENSE (T(1024));
     # interleaved (C, 2) intermediates tile (8, 128) with 2/128 lanes used, and
     # the profiler showed every elementwise chain on them costing 40-90 us.
-    Gx_s, Gy_s = G_s[:, 0], G_s[:, 1]
     if use_wcache:
         from ..ops.pallas_matvec import weight_matvec
 
         rho_inv = 1.0 / jnp.maximum(rho_s, 1e-30)
-        s1x, s1y = sums["mj_wij"][:, 0], sums["mj_wij"][:, 1]
-        s2x, s2y = sums["mj_by_rhoj_wij"][:, 0], sums["mj_by_rhoj_wij"][:, 1]
 
         def accel_fn(p):
             p = refresh(p)
@@ -422,14 +431,15 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             p0=p0, psum=psum, pmax=pmax,
         )
 
-    def nonpressure(v):
-        if first_np_vel is not None and v is vel_s:
+    def nonpressure(vx, vy):
+        if first_np_vel is not None and vx is vx_s:
             return first_np_vel
-        visc = sweep(tp.visc_op(params), _stack(rho_s, v[:, 0], v[:, 1]), pscale)[:, 0:2]
-        return v + dt * finish_nonpressure(visc)
+        visc = sweep(tp.visc_op(params), _stack(rho_s, vx, vy), pscale)
+        ax, ay = finish_nonpressure(visc[:, 0], visc[:, 1])
+        return vx + dt * ax, vy + dt * ay
 
-    def src_full(v):
-        div_v = div_fn(v[:, 0], v[:, 1])
+    def src_full(vx, vy):
+        div_v = div_fn(vx, vy)
         next_rho = jnp.full_like(rho_s, params.rest_density) if w2020 else rho_s
         return -(params.rest_density - rho_s) / (next_rho * dt * dt) - div_v / dt
 
@@ -438,8 +448,8 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         return -(params.rest_density - rho_s) / (next_rho * dt * dt)
 
     omega_s = jnp.where(alive_s, col("omega"), 1.0)
-    pos2_s = pos_s
-    vel2_s = vel_s
+    p2x, p2y = px_s, py_s
+    v2x, v2y = vx_s, vy_s
     pdiv_s = None
 
     if method in (PressureSolverMethod.IISPH, PressureSolverMethod.IISPH2):
@@ -458,25 +468,27 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                 jnp.where(size_class_s == float(SIZE_LARGE), omega_large, omega_neigh),
                 0.125, 2.5,
             )
-        vel2_s = nonpressure(vel_s)
+        v2x, v2y = nonpressure(vx_s, vy_s)
         if method == PressureSolverMethod.IISPH2:
             src = -(params.rest_density - rho_s) / (params.rest_density * dt * dt) - (
-                div_fn(vel2_s[:, 0], vel2_s[:, 1]) / (dt * omega_s)
+                div_fn(v2x, v2y) / (dt * omega_s)
             )
         else:
-            src = src_full(vel2_s)
+            src = src_full(v2x, v2y)
         if warm:
             p0 = p_prev_s * jnp.sqrt(omega_s) if method == PressureSolverMethod.IISPH2 else p_prev_s
         else:
             p0 = None
         res = jacobi(src, params.iisph_max_avg_density_error, DENSITY_ERROR, p0=p0)
         pressure_s = res.pressure
-        accel_sv = res.pressure_accel
+        ax_sv, ay_sv = res.pressure_accel
         if method == PressureSolverMethod.IISPH2:
             pressure_s = pressure_s / jnp.sqrt(omega_s)
-            accel_sv = jnp.stack(accel_fn(pressure_s), axis=-1)
-        vel2_s = vel2_s + dt * accel_sv
-        pos2_s = pos2_s + dt * vel2_s
+            ax_sv, ay_sv = accel_fn(pressure_s)
+        v2x = v2x + dt * ax_sv
+        v2y = v2y + dt * ay_sv
+        p2x = p2x + dt * v2x
+        p2y = p2y + dt * v2y
         diag["density_iterations"] = res.iterations
         diag["density_avg_error"] = res.avg_error
         diag["density_max_error"] = res.max_error
@@ -484,13 +496,16 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         src_s, derr_s = src, res.density_error
 
     elif method == PressureSolverMethod.OnlyDivergence:
-        vel2_s = nonpressure(vel_s)
-        src = -div_fn(vel2_s[:, 0], vel2_s[:, 1]) / dt
+        v2x, v2y = nonpressure(vx_s, vy_s)
+        src = -div_fn(v2x, v2y) / dt
         res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
                      p0=p_prev_s if warm else None)
-        vel2_s = vel2_s + dt * res.pressure_accel
-        pos2_s = pos2_s + dt * vel2_s
-        pressure_s, accel_sv = res.pressure, res.pressure_accel
+        ax_sv, ay_sv = res.pressure_accel
+        v2x = v2x + dt * ax_sv
+        v2y = v2y + dt * ay_sv
+        p2x = p2x + dt * v2x
+        p2y = p2y + dt * v2y
+        pressure_s = res.pressure
         diag["div_iterations"] = res.iterations
         diag["div_avg_error"] = res.avg_error
         diag["solver_stats"] = (res.normal_count, res.singular_count, res.negative_count)
@@ -498,17 +513,19 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     else:  # HybridDFSPH
         if params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
-            vel2_s = nonpressure(vel_s)
-        src = -div_fn(vel2_s[:, 0], vel2_s[:, 1]) / dt
+            v2x, v2y = nonpressure(vx_s, vy_s)
+        src = -div_fn(v2x, v2y) / dt
         res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
                          p0=pdiv_prev_s if warm else None)
-        vel2_s = vel2_s + dt * res_div.pressure_accel
+        adx, ady = res_div.pressure_accel
+        v2x = v2x + dt * adx
+        v2y = v2y + dt * ady
         diag["div_iterations"] = res_div.iterations
         diag["div_avg_error"] = res_div.avg_error
         if not params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
-            vel2_s = nonpressure(vel2_s)
+            v2x, v2y = nonpressure(v2x, v2y)
         if params.hybrid_dfsph_density_source_term == HybridDfsphDensitySourceTerm.DensityAndDivergence:
-            src2 = src_full(vel2_s)
+            src2 = src_full(v2x, v2y)
         else:
             src2 = src_only_density()
         res_den = jacobi(src2, params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR,
@@ -517,9 +534,12 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         diag["density_avg_error"] = res_den.avg_error
         diag["density_max_error"] = res_den.max_error
         diag["solver_stats"] = (res_den.normal_count, res_den.singular_count, res_den.negative_count)
-        accel_sv = res_den.pressure_accel
-        pos2_s = pos2_s + dt * vel2_s + dt * dt * accel_sv
-        vel2_s = vel2_s + dt * accel_sv * jnp.minimum(dt * params.hybrid_dfsph_factor, 1.0)
+        ax_sv, ay_sv = res_den.pressure_accel
+        p2x = p2x + dt * v2x + dt * dt * ax_sv
+        p2y = p2y + dt * v2y + dt * dt * ay_sv
+        blend = jnp.minimum(dt * params.hybrid_dfsph_factor, 1.0)
+        v2x = v2x + dt * ax_sv * blend
+        v2y = v2y + dt * ay_sv * blend
         pressure_s = res_den.pressure
         src_s, derr_s = src2, res_den.density_error
         pdiv_s = res_div.pressure if warm else None
@@ -535,6 +555,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             "the list backend (supports_tile_backend)")
         assert halo is None, "slab-sharded step gates out post-advection levels"
         h_eff_s = st[:, 2]
+        pos2_s = jnp.stack([p2x, p2y], axis=1)
         bins2 = build_tiles(pos2_s, h_eff_s * jnp.float32(tcfg.mscale), h_eff_s,
                             alive_s, tcfg, origin=origin)
         ro0, co0, lo0 = diag["neighbor_overflow"]
@@ -583,11 +604,10 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         # positions over the stale pre-advection pair set
         max_depth = -params.maximum_surface_distance
         dist_s = jnp.where(has_s, jnp.maximum(level_s, max_depth), max_depth)
-        dp = refresh(jnp.concatenate([dist_s[:, None], pos2_s], axis=1))
-        dist_s, pos2r_s = dp[:, 0], dp[:, 1:3]
+        dp = refresh(jnp.stack([dist_s, p2x, p2y], axis=1))
         sm = sweep(
             tp.smooth_op(),
-            _stack(rho_s, dist_s, pos2r_s[:, 0], pos2r_s[:, 1]),
+            _stack(rho_s, dp[:, 0], dp[:, 1], dp[:, 2]),
             pscale,
         )
         sm_s = sm[:, 0] / jnp.maximum(sm[:, 1], 1e-30)
@@ -620,13 +640,13 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         insuf_out = jnp.zeros_like(alive_s)
     new_state = state.replace(
         mass=msk(mass_s),
-        position=msk(pos2_s),
-        velocity=msk(vel2_s),
+        position=jnp.stack([msk(p2x), msk(p2y)], axis=1),
+        velocity=jnp.stack([msk(v2x), msk(v2y)], axis=1),
         pressure=msk(pressure_s),
         pressure_div=(msk(pdiv_s) if pdiv_s is not None
                       else (msk(pdiv_prev_s) if warm else zeros_s)),
         stash=msk(stash_s) if stash_s is not None else zeros_s,
-        pressure_accel=msk(accel_sv),
+        pressure_accel=jnp.stack([msk(ax_sv), msk(ay_sv)], axis=1),
         ppe_source_term=msk(src_s),
         density_error=msk(derr_s),
         omega=msk(omega_s, 1.0),
@@ -687,9 +707,10 @@ def _level_estimation(tcfg, bins, st, wm, sweep, ext_scale, dist_b, h_raw_s, ali
     else:
         count = sweep(tp.COUNT_OP, None, ext_scale)[:, 0]
         nrm = sweep(tp.normal_op(params), None, ext_scale)
-        norm2 = jnp.sum(nrm * nrm, axis=1)
-        unit = nrm / jnp.sqrt(jnp.maximum(norm2, 1e-30))[:, None]
-        cone = sweep(tp.cone_op(params), _stack(unit[:, 0], unit[:, 1]), ext_scale)[:, 0] > 0.5
+        nx, ny = nrm[:, 0], nrm[:, 1]
+        norm2 = nx * nx + ny * ny
+        inv = 1.0 / jnp.sqrt(jnp.maximum(norm2, 1e-30))
+        cone = sweep(tp.cone_op(params), _stack(nx * inv, ny * inv), ext_scale)[:, 0] > 0.5
 
         insufficient = count < (2 * 2 - 1)
         symmetric = norm2 < 1e-5

@@ -129,9 +129,8 @@ def _fixed_jacobi(k: int, final_accel: bool):
 
         if k > 0:
             p, _ = jax.lax.scan(body, p, None, length=k)
-        fa = (jnp.stack(accel_fn(p), axis=-1) if final_accel
-              else jnp.zeros((total, 2), jnp.float32))
         z = jnp.zeros(total, jnp.float32)
+        fa = accel_fn(p) if final_accel else (z, z)
         return SolveResult(
             pressure=p, pressure_accel=fa, density_error=z,
             iterations=jnp.int32(k), avg_error=jnp.float32(0.0),
