@@ -24,6 +24,10 @@ import time
 import numpy as np
 
 REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "1"))
+# ASPH_BENCH_COLD=1: reference-parity semantics (every solve cold-starts at
+# p=0 like simulation.rs:1143/1169/1190) instead of the disclosed
+# warm-start-pressure extension; PERFORMANCE.md records both numbers.
+COLD = os.environ.get("ASPH_BENCH_COLD", "0") == "1"
 
 
 def build_sim(replicas: int = None):
@@ -60,7 +64,7 @@ def build_sim(replicas: int = None):
         # framework extension (off in reference-parity runs): warm-start each
         # pressure solve from the previous step; the solves still run to the same
         # avg-error tolerances above, with ~5-7x fewer Jacobi iterations.
-        warm_start_pressure=True,
+        warm_start_pressure=not COLD,
     )
     return create_simulation(params, scene, counters_enabled=False)
 
@@ -108,7 +112,8 @@ def main():
             {
                 "metric": (
                     "particle-updates/sec/chip on ratio-stress-test"
-                    f" (x{REPLICAS} block tiling, n={n})"
+                    f" (x{REPLICAS} block tiling, n={n}"
+                    + (", cold-start solves)" if COLD else ")")
                 ),
                 "value": float(updates_per_sec),
                 "unit": "updates/s",
