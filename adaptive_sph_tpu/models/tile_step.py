@@ -395,14 +395,22 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         def div_fn(qx, qy):
             # ghost rows must be refreshed BEFORE the matvec (neighbors read
             # them); the i-indexed dot terms below only ever feed owned rows,
-            # so they can use the pre-refresh values. One stacked ppermute.
-            t = refresh(jnp.stack([qx, qy], axis=1))
+            # so they can use the pre-refresh values. One stacked ppermute on
+            # the slab path; single-chip never interleaves (the matvec takes
+            # channel-split (C,) operands — a (C, 2) stack is a relayout onto
+            # 2/128-lane tiles that costs more than the weight stream itself).
+            if halo is not None:
+                t = refresh(jnp.stack([qx, qy], axis=1))
+                tx, ty = t[:, 0], t[:, 1]
+            else:
+                tx, ty = qx, qy
             if w2020:
-                s = weight_matvec(wcache, wmeta_blocks, wcnt, t * rho_inv[:, None],
-                                  tcfg.tq, k_out=1)
+                s = weight_matvec(wcache, wmeta_blocks, wcnt,
+                                  (tx * rho_inv, ty * rho_inv), tcfg.tq, k_out=1)
                 s = s - (qx * s2x + qy * s2y)
             else:
-                s = weight_matvec(wcache, wmeta_blocks, wcnt, t, tcfg.tq, k_out=1)
+                s = weight_matvec(wcache, wmeta_blocks, wcnt, (tx, ty),
+                                  tcfg.tq, k_out=1)
                 s = (s - (qx * s1x + qy * s1y)) * rho_inv
             return s + gp.boundary_div_slots_1d(Gx_s, Gy_s, qx, qy, rho_s,
                                                 bt.kind, params)

@@ -221,14 +221,21 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
     return w, meta, cnt
 
 
-def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, out_ref, scratch, sem,
-                   *, tq: int, k_in: int, k_out: int,
+def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, *rest,
+                   tq: int, k_in: int, k_out: int,
                    precision=jax.lax.Precision.HIGHEST):
     """Stream weight blocks in groups of GRP; out[qt] = sublane dots over candidates.
 
     k_in=1, k_out=2: accel mode — out = (sum wx*u, sum wy*u)
-    k_in=2, k_out=1: div mode   — out = sum (wx*tx + wy*ty)
+    k_in=2, k_out=1: div mode   — out = sum (wx*tx + wy*ty); tx/ty arrive as
+      TWO separate (C, 1) operands so the caller never materializes an
+      interleaved (C, 2) table (the jnp.stack relayout + its 128-lane padding
+      cost more than the whole weight stream)
     """
+    if k_in == 2:
+        t2_ref, out_ref, scratch, sem = rest
+    else:
+        (out_ref, scratch, sem), t2_ref = rest, None
     B = cnt_ref[0]
     NG = (B + GRP - 1) // GRP
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -274,25 +281,24 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, out_ref, scratch, sem,
             w = scratch[buf, g]  # (64, LW) = [wx | pad | wy | pad], cands on sublanes
             if w.dtype != jnp.float32:  # bf16-stored blocks compute in f32
                 w = w.astype(jnp.float32)
-            tv = t_ref[pl.ds(an_e, TILE), :]  # (64, k_in)
             row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
             if k_out == 2:  # k_in == 1: out = [sum wx*u | sum wy*u]
                 # VPU broadcast-multiply + sublane tree-reduce beats the MXU
                 # dot at this shape (measured 70 vs 134 ns/block — the dot's
                 # issue cost exceeds the 64x128 elementwise work); the kernel
                 # is then DMA-bound (scripts/matvec_probe.py)
-                prod = w * tv[:, 0:1]
+                tv = t_ref[pl.ds(an_e, TILE), :]  # (64, 1)
+                prod = w * tv
                 ax = jnp.sum(prod[:, 0:tq], axis=0, keepdims=True)
                 ay = jnp.sum(prod[:, half:half + tq], axis=0, keepdims=True)
                 # sublane placement via iota select — jnp.concatenate along
                 # sublanes inside the unrolled group crashes Mosaic
                 contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
-            else:  # k_in == 2: sum wx*tx + wy*ty — MXU wins here (98 ns/block)
-                res = jax.lax.dot_general(
-                    tv, w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision,
-                )
-                c0 = res[0:1, 0:tq] + res[1:2, half:half + tq]
+            else:  # k_in == 2: sum wx*tx + wy*ty on the VPU from split operands
+                tvx = t_ref[pl.ds(an_e, TILE), :]   # (64, 1)
+                tvy = t2_ref[pl.ds(an_e, TILE), :]  # (64, 1)
+                prod = w[:, 0:tq] * tvx + w[:, half:half + tq] * tvy
+                c0 = jnp.sum(prod, axis=0, keepdims=True)
                 contrib = jnp.where(row == 0, c0, 0.0)
             acc = acc + jnp.where(valid, contrib, 0.0)
             out_ref[cur_qt] = acc
@@ -316,10 +322,21 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     with 2/128 lanes used, which made every downstream elementwise fusion run
     at <2% lane efficiency (profiled at 40-90 us per trivial chain).
     """
-    C = t_sorted.shape[0]
-    if t_sorted.ndim == 1:
-        t_sorted = t_sorted[:, None]
-    k_in = t_sorted.shape[1]
+    if isinstance(t_sorted, tuple):
+        # div mode, channel-split: two (C,) operands, no (C, 2) interleave
+        tx, ty = t_sorted
+        C = tx.shape[0]
+        t_ops = [tx[:, None], ty[:, None]]
+        k_in = 2
+    else:
+        C = t_sorted.shape[0]
+        if t_sorted.ndim == 1:
+            t_sorted = t_sorted[:, None]
+        k_in = t_sorted.shape[1]
+        if k_in == 2:
+            t_ops = [t_sorted[:, 0:1], t_sorted[:, 1:2]]
+        else:
+            t_ops = [t_sorted]
     NT = C // tq
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -328,10 +345,8 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # weights in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # t (flat)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # weights in HBM
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(t_ops),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NBUF, GRP, TILE, _lane_width(tq)), weights.dtype),
@@ -343,11 +358,11 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, 8, tq), jnp.float32),
         interpret=bool(interpret),
-        # the flat value table lane-pads (C, k) to (C, 128) in VMEM
+        # each flat value table lane-pads (C, 1) to (C, 128) in VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
         ),
-    )(cnt, meta, weights, t_sorted)
+    )(cnt, meta, weights, *t_ops)
     if k_out == 1:
         return out[:, 0, :].reshape(C)
     return out[:, 0, :].reshape(C), out[:, 1, :].reshape(C)

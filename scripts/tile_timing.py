@@ -109,12 +109,18 @@ def main():
 
     q = jnp.ones((tcfg.capacity,), jnp.float32)
     t = scan_time(
-        # includes the (C,) x2 -> (C, 2) table stack like the production div_fn
+        # channel-split operands like the production div_fn (no (C, 2) stack)
+        lambda v, w, m, c: weight_matvec(w, m, c, (v, v), tcfg.tq, k_out=1),
+        q, wc, wmb, wcnt,
+    )
+    print(f"matvec div (k_out=1):     {t*1000:7.3f} ms")
+    t = scan_time(
+        # the old interleaved form, for comparison (stack + (C, 2) operand)
         lambda v, w, m, c: weight_matvec(w, m, c, jnp.stack([v, v], axis=1),
                                          tcfg.tq, k_out=1),
         q, wc, wmb, wcnt,
     )
-    print(f"matvec div (k_out=1):     {t*1000:7.3f} ms")
+    print(f"matvec div (interleaved): {t*1000:7.3f} ms")
 
     t = scan_time(lambda s: unsort(bins, s, None, 0.0), allsorted)
     print(f"unsort (row gather):      {t*1000:7.3f} ms")
