@@ -387,3 +387,80 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         singular_count=out["singular"],
         negative_count=out["negative"],
     )
+
+
+def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
+                         aii, src, alive, max_avg_error, residual_type,
+                         params: SimulationParams, dt, rho, rho_inv,
+                         s1x, s1y, s2x, s2y, Gx, Gy, bt_kind: str,
+                         p0=None) -> SolveResult:
+    """tile_jacobi semantics in ONE Pallas call (ops/pallas_jacobi.py).
+
+    The weight cache is held VMEM-resident across every Jacobi sweep instead of
+    re-streamed from HBM per matvec, and the inter-sweep elementwise glue
+    (self/boundary terms, p update, convergence statistics,
+    simulation.rs:1207-1322/1378-1516) runs inside the kernel. Single-chip only
+    (no ppermute ghost refresh is possible mid-kernel)."""
+    from ..ops.pallas_jacobi import (
+        S_AVG, S_ITERS, S_MAX, S_NEG, S_NORMAL, T_LANES,
+        M_AX, M_AY, M_P, M_PERR, jacobi_solve,
+    )
+
+    C = aii.shape[0]
+    singular = jnp.abs(aii) < SINGULAR_AII_EPS
+    aii_safe = jnp.where(singular, 1.0, aii)
+    waii = jnp.float32(params.jacobi_omega) / aii_safe
+    nsing = jnp.where(singular, 0.0, 1.0)
+    alive_f = jnp.where(alive, 1.0, 0.0)
+    rho_b = params.rest_density
+    od = params.operator_discretization
+    w2020 = od == OperatorDiscretization.Winchenbach2020
+
+    # boundary premultiplications (grid_physics.boundary_*_slots_1d folded into
+    # per-particle lanes + one static scalar `mp`)
+    z = jnp.zeros_like(aii)
+    if bt_kind == "none":
+        gxp = gyp = bdx = bdy = z
+        mp = 0.0
+    elif bt_kind == "sdf":
+        mirror = 1.0 if od == OperatorDiscretization.ConsistentSymmetricGradient else 0.0
+        mp = mirror / (rho_b * rho_b)
+        gxp, gyp = Gx * rho_b, Gy * rho_b
+        bscale = (jnp.ones_like(aii) if w2020 else rho_b * rho_inv)
+        bdx, bdy = Gx * bscale, Gy * bscale
+    else:
+        mirror = 0.0 if od == OperatorDiscretization.ConsistentSimpleGradient else 1.0
+        mp = mirror / (rho_b * rho_b)
+        gxp, gyp = Gx, Gy
+        bdx, bdy = Gx * rho_inv, Gy * rho_inv
+
+    if p0 is None:
+        p_init = jnp.zeros(C, jnp.float32)
+    else:
+        p_init = jnp.where(alive & (~singular), jnp.maximum(p0, 0.0), 0.0)
+
+    cols = [src, waii, nsing, rho_inv, gxp, gyp, s1x, s1y, bdx, bdy,
+            alive_f, p_init, rho,
+            s2x if s2x is not None else z, s2y if s2y is not None else z]
+    cols += [z] * (T_LANES - len(cols))
+    table = jnp.stack(cols, axis=1)
+    scal = jnp.stack([dt.astype(jnp.float32), jnp.float32(max_avg_error),
+                      jnp.float32(rho_b), jnp.float32(0.0)])
+
+    m, stats = jacobi_solve(
+        wcache, wmeta_blocks, wcnt, table, scal, tq, b_max=b_max,
+        w2020=w2020, density_type=residual_type == DENSITY_ERROR,
+        max_iters=int(params.max_iters), mp=mp,
+        write_perr=residual_type == DENSITY_ERROR,
+    )
+    return SolveResult(
+        pressure=m[:, M_P],
+        pressure_accel=(m[:, M_AX], m[:, M_AY]),
+        density_error=m[:, M_PERR],
+        iterations=stats[S_ITERS].astype(jnp.int32),
+        avg_error=stats[S_AVG],
+        max_error=stats[S_MAX],
+        normal_count=stats[S_NORMAL].astype(jnp.int32),
+        singular_count=jnp.sum(alive & singular).astype(jnp.int32),
+        negative_count=stats[S_NEG].astype(jnp.int32),
+    )

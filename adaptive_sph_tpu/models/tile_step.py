@@ -433,7 +433,20 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     p_prev_s = col("pressure") if warm else None
     pdiv_prev_s = col("pressure_div") if warm else None
 
+    resident = (
+        use_wcache
+        and halo is None
+        and (params.resident_solver
+             or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1")
+    )
+
     def jacobi(src, tol, rtype, p0=None):
+        if resident:
+            return tp.tile_jacobi_resident(
+                wcache, wmeta_blocks, wcnt, tcfg.tq, tcfg.b_max,
+                aii_s, src, owned_s, tol, rtype, params, dt, rho_s, rho_inv,
+                s1x, s1y, s2x, s2y, Gx_s, Gy_s, bt.kind, p0=p0,
+            )
         return tp.tile_jacobi(
             accel_fn, div_fn, aii_s, src, owned_s, tol, rtype, params, dt, rho_s,
             p0=p0, psum=psum, pmax=pmax,

@@ -192,6 +192,13 @@ class SimulationParams:
     # the rounded operator); off by default — f32 matches the reference's
     # numerics and the cross-backend differential tests.
     weight_cache_bf16: bool = False
+    # run each pressure solve as ONE Pallas kernel with the weight cache held
+    # VMEM-resident across all Jacobi sweeps (ops/pallas_jacobi.py) instead of
+    # re-streaming it from HBM per matvec. Identical math and convergence
+    # semantics (f32 association order differs); single-chip tile backend only
+    # (the slab-sharded path needs ppermute ghost refreshes between sweeps).
+    # Off by default until validated on real TPU hardware.
+    resident_solver: bool = False
     # emit the reference's per-stage PerformanceCounters sections
     # (simulation.rs:1993-2069: neighborhood, level-estimation, div-solver,
     # density-solver, adaptivity) into the .stat dump. On TPU the step is ONE

@@ -28,6 +28,10 @@ REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "1"))
 # p=0 like simulation.rs:1143/1169/1190) instead of the disclosed
 # warm-start-pressure extension; PERFORMANCE.md records both numbers.
 COLD = os.environ.get("ASPH_BENCH_COLD", "0") == "1"
+# ASPH_BENCH_RESIDENT=1: whole-solve resident Jacobi kernel (same math/tolerance
+# contract, ops/pallas_jacobi.py). ASPH_BENCH_BF16=1: bf16 weight-cache blocks.
+RESIDENT = os.environ.get("ASPH_BENCH_RESIDENT", "0") == "1"
+BF16 = os.environ.get("ASPH_BENCH_BF16", "0") == "1"
 
 
 def build_sim(replicas: int = None):
@@ -65,6 +69,8 @@ def build_sim(replicas: int = None):
         # pressure solve from the previous step; the solves still run to the same
         # avg-error tolerances above, with ~5-7x fewer Jacobi iterations.
         warm_start_pressure=not COLD,
+        resident_solver=RESIDENT,
+        weight_cache_bf16=BF16,
     )
     return create_simulation(params, scene, counters_enabled=False)
 
