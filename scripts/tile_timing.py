@@ -125,6 +125,51 @@ def main():
     t = scan_time(lambda s: unsort(bins, s, None, 0.0), allsorted)
     print(f"unsort (row gather):      {t*1000:7.3f} ms")
 
+    # whole-solve comparison: streamed per-matvec path vs the resident kernel
+    # (ops/pallas_jacobi.py). Fixed synthetic source/aii so the trip counts are
+    # identical between scan iterations; the data dependency threads p0.
+    rho1 = jnp.full((tcfg.capacity,), params.rest_density, jnp.float32)
+    rinv1 = 1.0 / rho1
+    zc = jnp.zeros((tcfg.capacity,), jnp.float32)
+    alive1 = stt[:, 2] > 0.0
+    aii1 = jnp.where(alive1, -1.0, 0.0)
+    src1 = jnp.where(alive1, -0.05, 0.0)
+    dt1 = jnp.float32(1e-3)
+
+    def resident_solve(p0, w, m, c):
+        res = tp.tile_jacobi_resident(
+            w, m, c, tcfg.tq, tcfg.b_max, aii1, src1, alive1,
+            0.0005, tp.DENSITY_ERROR, params, dt1, rho1, rinv1,
+            zc, zc, None, None, zc, zc, "none",
+        )
+        return p0 + 0.0 * res.pressure
+
+    t = scan_time(resident_solve, zc, wc, wmb, wcnt, iters=8)
+    it_r = int(jax.device_get(jax.jit(
+        lambda w, m, c: tp.tile_jacobi_resident(
+            w, m, c, tcfg.tq, tcfg.b_max, aii1, src1, alive1,
+            0.0005, tp.DENSITY_ERROR, params, dt1, rho1, rinv1,
+            zc, zc, None, None, zc, zc, "none").iterations
+    )(wc, wmb, wcnt)))
+    print(f"resident solve:           {t*1000:7.3f} ms  (iters={it_r})")
+
+    def streamed_solve(p0, w, m, c):
+        def accel_fn(p):
+            u = p * rinv1 * rinv1
+            mvx, mvy = weight_matvec(w, m, c, u[:, None], tcfg.tq, k_out=2)
+            return -u * zc - mvx, -u * zc - mvy
+
+        def div_fn(qx, qy):
+            s = weight_matvec(w, m, c, (qx, qy), tcfg.tq, k_out=1)
+            return (s - (qx * zc + qy * zc)) * rinv1
+
+        res = tp.tile_jacobi(accel_fn, div_fn, aii1, src1, alive1, 0.0005,
+                             tp.DENSITY_ERROR, params, dt1, rho1)
+        return p0 + 0.0 * res.pressure
+
+    t = scan_time(streamed_solve, zc, wc, wmb, wcnt, iters=8)
+    print(f"streamed solve:           {t*1000:7.3f} ms")
+
     t = scan_time(
         lambda s: sim.step_fn(s)[0],
         st,

@@ -104,3 +104,32 @@ def test_resident_warm_start():
         warm_start_pressure=True,
     )
     _diff_resident(params, _dam_scene(), steps=4)
+
+
+def test_resident_bf16_weights_converges():
+    # bf16 blocks perturb the operator (~0.4% relative) so this is not a
+    # tight differential: assert the resident+bf16 run converges to the same
+    # tolerance contract and lands near the f32 run
+    import dataclasses
+
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    states = {}
+    for bf16 in (False, True):
+        p = dataclasses.replace(params, resident_solver=True,
+                                weight_cache_bf16=bf16)
+        sim = create_simulation(p, _dam_scene(), capacity=1024,
+                                backend="tiles")
+        for _ in range(3):
+            sim.step()
+        states[bf16] = sim.state
+    a, b = states[True], states[False]
+    alive = np.asarray(b.alive)
+    np.testing.assert_allclose(
+        np.asarray(a.position)[alive], np.asarray(b.position)[alive], atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.density)[alive], np.asarray(b.density)[alive], rtol=5e-3
+    )
