@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_matvec import GRP, META_SHIFT, NBUF, _lane_width
-from .tiles import TILE
+from .tiles import TILE, default_interpret
 
 # constants-table lanes (read-only during the solve)
 T_SRC, T_WAII, T_NSING, T_RINV = 0, 1, 2, 3
@@ -340,7 +340,7 @@ def jacobi_solve(weights, meta, cnt, table, scal, tq: int, *, b_max: int,
     C = table.shape[0]
     NT = C // tq
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_interpret()
     r_blocks = resident_blocks(C, tq, b_max, weights.dtype)
     kern = functools.partial(
         _jacobi_kernel, tq=tq, r_blocks=r_blocks, b_max=b_max, w2020=w2020,

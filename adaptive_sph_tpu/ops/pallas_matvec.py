@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import kernels
 from .pallas_sweeps import _levels_meta
-from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta
+from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta, default_interpret
 
 NBUF = 4   # DMA pipeline depth (group-sized copies)
 GRP = 8    # weight blocks per DMA / per loop iteration (statically unrolled)
@@ -184,7 +184,7 @@ def build_weight_cache(cfg: TileConfig, bins: TileBins, statics_sorted, scale: f
     if wmeta is None:
         wmeta = window_meta(cfg, bins, statics_sorted)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_interpret()
 
     kern = functools.partial(_build_kernel, cfg=cfg, scale=float(scale), b_max=b_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -339,7 +339,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
             t_ops = [t_sorted]
     NT = C // tq
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_interpret()
 
     kern = functools.partial(_matvec_kernel, tq=tq, k_in=k_in, k_out=k_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -554,7 +554,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     if wmeta is None:
         wmeta = window_meta(cfg, bins, statics_sorted)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_interpret()
 
     kern = functools.partial(
         _build_prep_kernel, cfg=cfg, scale=float(scale), b_max=b_max,

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import kernels
-from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta
+from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta, default_interpret
 
 OUT_PAD = 8
 NEG_BIG = -3.0e38
@@ -279,7 +279,7 @@ def run_sweep(
         wmeta = window_meta(cfg, bins, statics_sorted)
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_interpret()
 
     kern = functools.partial(_sweep_kernel, cfg=cfg, op=op, scale=float(scale))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -35,7 +35,20 @@ from flax import struct
 
 from .grid import GridConfig
 
-TILE = 64  # tile/chunk width: queries per tile == candidates per chunk read
+TILE = 64
+
+
+def default_interpret() -> bool:
+    """Pallas interpret-mode default: interpret off on TPU, on elsewhere.
+    ASPH_FORCE_MOSAIC=1 forces real Mosaic lowering regardless of backend —
+    used by scripts/aot_check.py to AOT-compile the TPU path on a CPU host
+    via a compile-only topology (no hardware needed)."""
+    import os
+    if os.environ.get("ASPH_FORCE_MOSAIC", "0") == "1":
+        return False
+    import jax
+    return jax.default_backend() != "tpu"
+  # tile/chunk width: queries per tile == candidates per chunk read
 
 
 @dataclasses.dataclass(frozen=True)
