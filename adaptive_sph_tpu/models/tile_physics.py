@@ -389,24 +389,10 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     )
 
 
-def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
-                         aii, src, alive, max_avg_error, residual_type,
-                         params: SimulationParams, dt, rho, rho_inv,
-                         s1x, s1y, s2x, s2y, Gx, Gy, bt_kind: str,
-                         p0=None) -> SolveResult:
-    """tile_jacobi semantics in ONE Pallas call (ops/pallas_jacobi.py).
-
-    The weight cache is held VMEM-resident across every Jacobi sweep instead of
-    re-streamed from HBM per matvec, and the inter-sweep elementwise glue
-    (self/boundary terms, p update, convergence statistics,
-    simulation.rs:1207-1322/1378-1516) runs inside the kernel. Single-chip only
-    (no ppermute ghost refresh is possible mid-kernel)."""
-    from ..ops.pallas_jacobi import (
-        S_AVG, S_ITERS, S_MAX, S_NEG, S_NORMAL, T_LANES,
-        M_AX, M_AY, M_P, M_PERR, jacobi_solve,
-    )
-
-    C = aii.shape[0]
+def _resident_table_cols(aii, alive, params: SimulationParams, rho, rho_inv,
+                         s1x, s1y, s2x, s2y, Gx, Gy, bt_kind: str):
+    """First 15 constants-table lanes shared by the resident solver kernels
+    (ops/pallas_jacobi.py lane layout), plus (singular, mp, w2020)."""
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
     aii_safe = jnp.where(singular, 1.0, aii)
     waii = jnp.float32(params.jacobi_omega) / aii_safe
@@ -434,18 +420,44 @@ def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
         gxp, gyp = Gx, Gy
         bdx, bdy = Gx * rho_inv, Gy * rho_inv
 
-    if p0 is None:
-        p_init = jnp.zeros(C, jnp.float32)
-    else:
-        p_init = jnp.where(alive & (~singular), jnp.maximum(p0, 0.0), 0.0)
-
-    cols = [src, waii, nsing, rho_inv, gxp, gyp, s1x, s1y, bdx, bdy,
-            alive_f, p_init, rho,
+    cols = [waii, nsing, rho_inv, gxp, gyp, s1x, s1y, bdx, bdy, alive_f, rho,
             s2x if s2x is not None else z, s2y if s2y is not None else z]
+    return cols, singular, mp, w2020
+
+
+def _p_init(p0, alive, singular, like):
+    if p0 is None:
+        return jnp.zeros_like(like)
+    return jnp.where(alive & (~singular), jnp.maximum(p0, 0.0), 0.0)
+
+
+def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
+                         aii, src, alive, max_avg_error, residual_type,
+                         params: SimulationParams, dt, rho, rho_inv,
+                         s1x, s1y, s2x, s2y, Gx, Gy, bt_kind: str,
+                         p0=None) -> SolveResult:
+    """tile_jacobi semantics in ONE Pallas call (ops/pallas_jacobi.py).
+
+    The weight cache is held VMEM-resident across every Jacobi sweep instead of
+    re-streamed from HBM per matvec, and the inter-sweep elementwise glue
+    (self/boundary terms, p update, convergence statistics,
+    simulation.rs:1207-1322/1378-1516) runs inside the kernel. Single-chip only
+    (no ppermute ghost refresh is possible mid-kernel)."""
+    from ..ops.pallas_jacobi import (
+        S_AVG, S_ITERS, S_MAX, S_NEG, S_NORMAL, T_LANES,
+        M_AX, M_AY, M_P, M_PERR, jacobi_solve,
+    )
+
+    cols13, singular, mp, w2020 = _resident_table_cols(
+        aii, alive, params, rho, rho_inv, s1x, s1y, s2x, s2y, Gx, Gy, bt_kind)
+    p_init = _p_init(p0, alive, singular, aii)
+    z = jnp.zeros_like(aii)
+    # T lanes: src, waii..alive (cols13[:10]), p0, rho, s2x, s2y
+    cols = [src] + cols13[:10] + [p_init] + cols13[10:13]
     cols += [z] * (T_LANES - len(cols))
     table = jnp.stack(cols, axis=1)
     scal = jnp.stack([dt.astype(jnp.float32), jnp.float32(max_avg_error),
-                      jnp.float32(rho_b), jnp.float32(0.0)])
+                      jnp.float32(params.rest_density), jnp.float32(0.0)])
 
     m, stats = jacobi_solve(
         wcache, wmeta_blocks, wcnt, table, scal, tq, b_max=b_max,
@@ -464,3 +476,61 @@ def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
         singular_count=jnp.sum(alive & singular).astype(jnp.int32),
         negative_count=stats[S_NEG].astype(jnp.int32),
     )
+
+
+def tile_hybrid_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
+                         aii, alive, params: SimulationParams, dt, rho,
+                         rho_inv, s1x, s1y, s2x, s2y, Gx, Gy, bt_kind: str,
+                         vx, vy, den_with_div: bool,
+                         p0_div=None, p0_den=None):
+    """The whole HybridDFSPH solver section in ONE kernel
+    (ops/pallas_jacobi.py hybrid_solve; simulation.rs:2502-2670 minus
+    integration). Returns (res_div, res_den, v2x, v2y, src2): res_* are
+    SolveResults (res_div carries no accel/density_error), v2 the
+    post-divergence-solve velocities, src2 the density source term."""
+    from ..ops.pallas_jacobi import (
+        S_AVG, S_ITERS, S_MAX, S_NEG, S_NORMAL, T_LANES_H,
+        M_AX, M_AY, M_P, M_PDIV, M_PERR, M_SRC, M_VX, M_VY, hybrid_solve,
+    )
+
+    cols13, singular, mp, w2020 = _resident_table_cols(
+        aii, alive, params, rho, rho_inv, s1x, s1y, s2x, s2y, Gx, Gy, bt_kind)
+    # density source, density part: -(rho0 - rho) / (rho_tilde dt^2)
+    next_rho = (jnp.full_like(rho, params.rest_density) if w2020 else rho)
+    src0 = -(params.rest_density - rho) / (next_rho * dt * dt)
+    z = jnp.zeros_like(aii)
+    cols = ([src0] + cols13[:10]  # src, waii..alive (order matches T lanes)
+            + [_p_init(p0_den, alive, singular, aii), cols13[10],
+               cols13[11], cols13[12],
+               _p_init(p0_div, alive, singular, aii), vx, vy])
+    cols += [z] * (T_LANES_H - len(cols))
+    table = jnp.stack(cols, axis=1)
+    scal = jnp.stack([
+        dt.astype(jnp.float32),
+        jnp.float32(params.hybrid_dfsph_max_avg_divergence_error),
+        jnp.float32(params.hybrid_dfsph_max_avg_density_error),
+        jnp.float32(params.rest_density),
+    ])
+
+    m, stats = hybrid_solve(
+        wcache, wmeta_blocks, wcnt, table, scal, tq, b_max=b_max,
+        w2020=w2020, max_iters=int(params.max_iters), mp=mp,
+        den_with_div=den_with_div,
+    )
+    nsing_count = jnp.sum(alive & singular).astype(jnp.int32)
+
+    def res(off, pressure, accel, perr):
+        return SolveResult(
+            pressure=pressure, pressure_accel=accel, density_error=perr,
+            iterations=stats[off + S_ITERS].astype(jnp.int32),
+            avg_error=stats[off + S_AVG],
+            max_error=stats[off + S_MAX],
+            normal_count=stats[off + S_NORMAL].astype(jnp.int32),
+            singular_count=nsing_count,
+            negative_count=stats[off + S_NEG].astype(jnp.int32),
+        )
+
+    zc = jnp.zeros_like(aii)
+    res_div = res(8, m[:, M_PDIV], (zc, zc), zc)
+    res_den = res(0, m[:, M_P], (m[:, M_AX], m[:, M_AY]), m[:, M_PERR])
+    return res_div, res_den, m[:, M_VX], m[:, M_VY], m[:, M_SRC]

@@ -533,24 +533,43 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         src_s, derr_s = src, res.density_error
 
     else:  # HybridDFSPH
+        hybrid_one_kernel = (
+            resident
+            and params.hybrid_dfsph_non_pressure_accel_before_divergence_free
+        )
         if params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
             v2x, v2y = nonpressure(vx_s, vy_s)
-        src = -div_fn(v2x, v2y) / dt
-        res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
-                         p0=pdiv_prev_s if warm else None)
-        adx, ady = res_div.pressure_accel
-        v2x = v2x + dt * adx
-        v2y = v2y + dt * ady
-        diag["div_iterations"] = res_div.iterations
-        diag["div_avg_error"] = res_div.avg_error
-        if not params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
-            v2x, v2y = nonpressure(v2x, v2y)
-        if params.hybrid_dfsph_density_source_term == HybridDfsphDensitySourceTerm.DensityAndDivergence:
-            src2 = src_full(v2x, v2y)
+        if hybrid_one_kernel:
+            # the whole solver section (src_div, div solve, v kick, src_den,
+            # density solve) in ONE kernel with the weights loaded once
+            res_div, res_den, v2x, v2y, src2 = tp.tile_hybrid_resident(
+                wcache, wmeta_blocks, wcnt, tcfg.tq, tcfg.b_max,
+                aii_s, owned_s, params, dt, rho_s, rho_inv,
+                s1x, s1y, s2x, s2y, Gx_s, Gy_s, bt.kind, v2x, v2y,
+                den_with_div=(params.hybrid_dfsph_density_source_term
+                              == HybridDfsphDensitySourceTerm.DensityAndDivergence),
+                p0_div=pdiv_prev_s if warm else None,
+                p0_den=p_prev_s if warm else None,
+            )
+            diag["div_iterations"] = res_div.iterations
+            diag["div_avg_error"] = res_div.avg_error
         else:
-            src2 = src_only_density()
-        res_den = jacobi(src2, params.hybrid_dfsph_max_avg_density_error, DENSITY_ERROR,
-                         p0=p_prev_s if warm else None)
+            src = -div_fn(v2x, v2y) / dt
+            res_div = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error,
+                             DIVERGENCE_ERROR, p0=pdiv_prev_s if warm else None)
+            adx, ady = res_div.pressure_accel
+            v2x = v2x + dt * adx
+            v2y = v2y + dt * ady
+            diag["div_iterations"] = res_div.iterations
+            diag["div_avg_error"] = res_div.avg_error
+            if not params.hybrid_dfsph_non_pressure_accel_before_divergence_free:
+                v2x, v2y = nonpressure(v2x, v2y)
+            if params.hybrid_dfsph_density_source_term == HybridDfsphDensitySourceTerm.DensityAndDivergence:
+                src2 = src_full(v2x, v2y)
+            else:
+                src2 = src_only_density()
+            res_den = jacobi(src2, params.hybrid_dfsph_max_avg_density_error,
+                             DENSITY_ERROR, p0=p_prev_s if warm else None)
         diag["density_iterations"] = res_den.iterations
         diag["density_avg_error"] = res_den.avg_error
         diag["density_max_error"] = res_den.max_error

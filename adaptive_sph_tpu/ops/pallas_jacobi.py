@@ -1,4 +1,4 @@
-"""Whole-solve Jacobi kernel: the relaxed-Jacobi PPE loop in ONE Pallas call.
+"""Whole-solve Jacobi kernels: the relaxed-Jacobi PPE loop in ONE Pallas call.
 
 The streamed design (ops/pallas_matvec.py) re-reads the weight cache from HBM
 for every matvec — 11 streams/step at reference semantics — and pays an XLA
@@ -11,9 +11,9 @@ inside one kernel:
   R blocks; blocks beyond R stream through the usual double-buffered ring
   (so any cnt ≤ b_max still works, degrading gracefully);
 - all per-particle vectors live in VMEM for the whole solve: a read-only
-  constants table T (C, 16) and the mutable/output table M (C, 8), one lane
-  per field — lane-packing shares the (C, 128) VMEM padding across all fields
-  instead of paying ~C*512 B per separate (C, 1) operand;
+  constants table T and the mutable/output table M, one lane per field —
+  lane-packing shares the (C, 128) VMEM padding across all fields instead of
+  paying ~C*512 B per separate (C, 1) operand;
 - the accel walk reads flat sublane windows of M and emits per-query-tile lane
   accumulators (NT, 8, tq); a per-tile MXU dot-transpose against an 8x8
   identity ((8, tq) x (8, 8) -> (tq, 8)) moves them back to flat sublane
@@ -22,6 +22,13 @@ inside one kernel:
 - convergence logic (avg/max error, normal/negative counts, ≥2 iters,
   max_iters cap) runs on scalars inside the loop; semantics replicate
   models/tile_physics.tile_jacobi exactly.
+
+Two kernels share the machinery (`_solver_parts`):
+  jacobi_solve — one pressure solve (any integrator's inner solve);
+  hybrid_solve — the WHOLE HybridDFSPH solver section (simulation.rs:2502-2670
+    minus integration): divergence source term, divergence solve, velocity
+    update, density source term, density solve — weights loaded once per STEP,
+    both streamed source-divergence matvecs absorbed.
 
 Single-chip only (the slab-sharded path needs a ppermute ghost refresh between
 sweeps, which a kernel cannot issue); gated by params.resident_solver.
@@ -39,18 +46,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_matvec import GRP, META_SHIFT, NBUF, _lane_width
 from .tiles import TILE, default_interpret
 
-# constants-table lanes (read-only during the solve)
+# constants-table lanes (read-only during the solve).
+# For jacobi_solve T is (C, 16); hybrid_solve extends it to (C, 20) with the
+# second warm start and the initial velocities (same VMEM: lanes pad to 128).
 T_SRC, T_WAII, T_NSING, T_RINV = 0, 1, 2, 3
 T_GXP, T_GYP, T_S1X, T_S1Y = 4, 5, 6, 7
 T_BDX, T_BDY, T_ALIVE, T_P0 = 8, 9, 10, 11
 T_RHO, T_S2X, T_S2Y = 12, 13, 14
 T_LANES = 16
+T_P0DIV, T_VX0, T_VY0 = 15, 16, 17
+T_LANES_H = 20
 
-# mutable/output-table lanes
+# mutable/output-table lanes ((C, 8) for jacobi_solve, (C, 16) for hybrid)
 M_P, M_U, M_AX, M_AY, M_TX, M_TY, M_AP, M_PERR = 0, 1, 2, 3, 4, 5, 6, 7
 M_LANES = 8
+M_VX, M_VY, M_PDIV, M_SRC = 8, 9, 10, 11
+M_LANES_H = 16
 
-# stats vector indices (f32 SMEM out)
+# stats vector indices (f32 SMEM out); hybrid uses [0..5)=density, [8..13)=div
 S_ITERS, S_AVG, S_MAX, S_NORMAL, S_NEG = 0, 1, 2, 3, 4
 
 _VMEM_BUDGET = 100 * 1024 * 1024  # resident region sized to fit under this
@@ -67,7 +80,7 @@ def resident_blocks(capacity: int, tq: int, b_max: int, wdtype) -> int:
     block = TILE * _lane_width(tq) * wbytes
     nt = capacity // tq
     other = (
-        2 * capacity * 128 * 4          # T (C,16) + M (C,8), both lane-padded
+        2 * capacity * 128 * 4          # T + M, both lane-padded to 128
         + 2 * nt * 8 * tq * 4           # OUT_A / OUT_D
         + NBUF * GRP * block            # stream ring
         + (1 << 20)                     # slack (I8, control)
@@ -76,63 +89,51 @@ def resident_blocks(capacity: int, tq: int, b_max: int, wdtype) -> int:
     return int(min((r // GRP) * GRP, ((b_max + GRP - 1) // GRP) * GRP))
 
 
-def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
-                   wres, sbuf, out_a, out_d, i8_ref, sem, psem, *,
-                   tq: int, r_blocks: int, b_max: int, w2020: bool,
-                   density_type: bool, max_iters: int, mp: float,
-                   write_perr: bool):
+def _solver_parts(cnt_ref, meta_ref, w_hbm, t_ref, m_ref, wres, sbuf,
+                  out_a, out_d, i8_ref, sem, psem, *,
+                  tq: int, r_blocks: int, b_max: int, w2020: bool, mp: float):
+    """Shared machinery: prologue DMA, block walks, transpose/elementwise
+    stages, and the Jacobi convergence loop. Returns a dict of callables
+    closed over the refs; both kernels compose them."""
     C = m_ref.shape[0]
     NT = C // tq
     B = cnt_ref[0]
-    dt = scal_ref[0]
-    tol = scal_ref[1]
-    rho0 = scal_ref[2]
     half = _lane_width(tq) // 2
     NG_ALL = (B + GRP - 1) // GRP
     NG_RES = jnp.minimum((jnp.minimum(B, r_blocks) + GRP - 1) // GRP,
                          r_blocks // GRP)
-
-    # ---- prologue: load the resident weight region (one DMA wave) ----------
     PQ = psem.shape[0]
 
-    def pro_dma(grp):
-        return pltpu.make_async_copy(
-            w_hbm.at[pl.ds(grp * GRP, GRP)], wres.at[pl.ds(grp * GRP, GRP)],
-            psem.at[jnp.mod(grp, PQ)],
-        )
+    def prologue():
+        """Load the resident weight region (one pipelined DMA wave)."""
 
-    def pro_start(grp, _):
-        @pl.when(grp >= PQ)
-        def _():
-            pro_dma(grp - PQ).wait()
-        pro_dma(grp).start()
-        return 0
+        def pro_dma(grp):
+            return pltpu.make_async_copy(
+                w_hbm.at[pl.ds(grp * GRP, GRP)], wres.at[pl.ds(grp * GRP, GRP)],
+                psem.at[jnp.mod(grp, PQ)],
+            )
 
-    jax.lax.fori_loop(0, NG_RES, pro_start, 0, unroll=False)
+        def pro_start(grp, _):
+            @pl.when(grp >= PQ)
+            def _():
+                pro_dma(grp - PQ).wait()
+            pro_dma(grp).start()
+            return 0
 
-    def pro_drain(k, _):
-        grp = NG_RES - 1 - k
-        @pl.when(grp >= 0)
-        def _():
-            pro_dma(grp).wait()
-        return 0
+        jax.lax.fori_loop(0, NG_RES, pro_start, 0, unroll=False)
 
-    jax.lax.fori_loop(0, jnp.minimum(NG_RES, PQ), pro_drain, 0, unroll=False)
+        def pro_drain(k, _):
+            grp = NG_RES - 1 - k
+            @pl.when(grp >= 0)
+            def _():
+                pro_dma(grp).wait()
+            return 0
 
-    # ---- init: p from warm start, u = p * rinv^2, clear perr ----------------
-    def init_tile(qt, _):
-        rows = pl.ds(qt * tq, tq)
-        p = t_ref[rows, T_P0:T_P0 + 1]
-        rinv = t_ref[rows, T_RINV:T_RINV + 1]
-        m_ref[rows, M_P:M_P + 1] = p
-        m_ref[rows, M_U:M_U + 1] = p * rinv * rinv
-        m_ref[rows, M_PERR:M_PERR + 1] = jnp.zeros((tq, 1), jnp.float32)
-        return 0
+        jax.lax.fori_loop(0, jnp.minimum(NG_RES, PQ), pro_drain, 0,
+                          unroll=False)
 
-    jax.lax.fori_loop(0, NT, init_tile, 0, unroll=False)
-
-    # ---- shared block walk ---------------------------------------------------
-    def block_math(w, valid, me, acc, cur_qt, mode):
+    def block_math(w, valid, me, acc, cur_qt, in_lanes):
+        """One weight block: in_lanes=(u,) accel mode, (tx, ty) div mode."""
         qt_e = me >> META_SHIFT
         an_e = me & ((1 << META_SHIFT) - 1)
         switch = qt_e != cur_qt
@@ -140,14 +141,15 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
         if w.dtype != jnp.float32:
             w = w.astype(jnp.float32)
         row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
-        if mode == "accel":
-            tv = m_ref[pl.ds(an_e, TILE), M_U:M_U + 1]
+        if len(in_lanes) == 1:  # accel: out rows 0/1 = (sum wx*u, sum wy*u)
+            lu = in_lanes[0]
+            tv = m_ref[pl.ds(an_e, TILE), lu:lu + 1]
             prod = w * tv
             ax = jnp.sum(prod[:, 0:tq], axis=0, keepdims=True)
             ay = jnp.sum(prod[:, half:half + tq], axis=0, keepdims=True)
             contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
-        else:
-            lx, ly = (M_TX, M_TY) if w2020 else (M_AX, M_AY)
+        else:  # div: out row 0 = sum (wx*tx + wy*ty)
+            lx, ly = in_lanes
             tvx = m_ref[pl.ds(an_e, TILE), lx:lx + 1]
             tvy = m_ref[pl.ds(an_e, TILE), ly:ly + 1]
             prod = w[:, 0:tq] * tvx + w[:, half:half + tq] * tvy
@@ -155,7 +157,7 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
             contrib = jnp.where(row == 0, c0, 0.0)
         return acc + jnp.where(valid, contrib, 0.0), qt_e
 
-    def walk(out_ref, mode):
+    def walk(out_ref, in_lanes):
         out_ref[:] = jnp.zeros_like(out_ref)
 
         def res_group(grp, carry):
@@ -165,7 +167,7 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
                 e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
                 acc, cur_qt = block_math(
                     wres[jnp.minimum(e_safe, r_blocks - 1)], e < B,
-                    meta_ref[e_safe], acc, cur_qt, mode,
+                    meta_ref[e_safe], acc, cur_qt, in_lanes,
                 )
                 out_ref[cur_qt] = acc
             return acc, cur_qt
@@ -206,7 +208,7 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
                         e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
                         acc, cur_qt = block_math(
                             sbuf[buf, g], e < B, meta_ref[e_safe], acc,
-                            cur_qt, mode,
+                            cur_qt, in_lanes,
                         )
                         out_ref[cur_qt] = acc
                     return acc, cur_qt
@@ -214,14 +216,17 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
                 jax.lax.fori_loop(0, jnp.maximum(NG_ALL - GT0, 0), tail_group,
                                   carry, unroll=False)
 
-    # ---- per-tile lane->sublane transpose + elementwise stages ---------------
-    def accel_finish(qt, _):
-        """mv (lanes) -> flat; axf = -u*s1 - mv + G*coeff; w2020 tx = ax*rinv."""
-        ta = jax.lax.dot_general(
-            out_a[qt], i8_ref[:], (((0,), (0,)), ((), ())),
+    def transpose(x):
+        """(8, tq) lane accumulator -> (tq, 8) flat sublanes (MXU dot)."""
+        return jax.lax.dot_general(
+            x, i8_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (tq, 8)
+        )
+
+    def accel_finish(qt, _):
+        """mv (lanes) -> flat; axf = -u*s1 - mv + G*coeff; w2020 tx = ax*rinv."""
+        ta = transpose(out_a[qt])
         rows = pl.ds(qt * tq, tq)
         p = m_ref[rows, M_P:M_P + 1]
         u = m_ref[rows, M_U:M_U + 1]
@@ -232,27 +237,19 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
         ay = -u * s1y - ta[:, 1:2] + t_ref[rows, T_GYP:T_GYP + 1] * coeff
         m_ref[rows, M_AX:M_AX + 1] = ax
         m_ref[rows, M_AY:M_AY + 1] = ay
-        if w2020:
-            rinv = t_ref[rows, T_RINV:T_RINV + 1]
-            m_ref[rows, M_TX:M_TX + 1] = ax * rinv
-            m_ref[rows, M_TY:M_TY + 1] = ay * rinv
         return 0
 
     def accel_pass():
-        walk(out_a, "accel")
+        walk(out_a, (M_U,))
         jax.lax.fori_loop(0, NT, accel_finish, 0, unroll=False)
 
-    def div_update(qt, carry):
-        """div (lanes) -> flat; ap; p update; error stats partials."""
-        n_norm, s_pred, mx, n_neg = carry
-        td = jax.lax.dot_general(
-            out_d[qt], i8_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    def div_terms(qt, lx, ly):
+        """Finish a div walk for tile qt over value lanes (lx, ly):
+        transpose + self terms + boundary. Returns (rows, ap (tq, 1))."""
+        td = transpose(out_d[qt])
         rows = pl.ds(qt * tq, tq)
-        ax = m_ref[rows, M_AX:M_AX + 1]
-        ay = m_ref[rows, M_AY:M_AY + 1]
+        ax = m_ref[rows, lx:lx + 1]
+        ay = m_ref[rows, ly:ly + 1]
         rinv = t_ref[rows, T_RINV:T_RINV + 1]
         bdiv = -(ax * t_ref[rows, T_BDX:T_BDX + 1]
                  + ay * t_ref[rows, T_BDY:T_BDY + 1])
@@ -264,67 +261,145 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
             ap = (td[:, 0:1]
                   - (ax * t_ref[rows, T_S1X:T_S1X + 1]
                      + ay * t_ref[rows, T_S1Y:T_S1Y + 1])) * rinv + bdiv
-        m_ref[rows, M_AP:M_AP + 1] = ap
+        return rows, ap
 
-        src = t_ref[rows, T_SRC:T_SRC + 1]
-        nsing = t_ref[rows, T_NSING:T_NSING + 1]
-        alive = t_ref[rows, T_ALIVE:T_ALIVE + 1]
-        r = src - ap
-        p1 = (m_ref[rows, M_P:M_P + 1]
-              + t_ref[rows, T_WAII:T_WAII + 1] * r) * nsing
-        if density_type:
-            pred = t_ref[rows, T_RHO:T_RHO + 1] * (dt * dt) * r
+    def div_of(in_val_lanes, finish):
+        """Divergence of the field in in_val_lanes (applying the w2020 t=a/rho
+        transform), then finish(qt, rows, ap) per tile."""
+        lx, ly = in_val_lanes
+        if w2020:
+            def prep(qt, _):
+                rows = pl.ds(qt * tq, tq)
+                rinv = t_ref[rows, T_RINV:T_RINV + 1]
+                m_ref[rows, M_TX:M_TX + 1] = m_ref[rows, lx:lx + 1] * rinv
+                m_ref[rows, M_TY:M_TY + 1] = m_ref[rows, ly:ly + 1] * rinv
+                return 0
+
+            if (lx, ly) != (M_TX, M_TY):
+                jax.lax.fori_loop(0, NT, prep, 0, unroll=False)
+            walk(out_d, (M_TX, M_TY))
         else:
-            pred = dt * r
-        clamped = p1 <= 0.0
-        p2 = jnp.where(clamped, 0.0, p1)
-        normal = alive * nsing * jnp.where(clamped, 0.0, 1.0)
-        m_ref[rows, M_P:M_P + 1] = p2
-        m_ref[rows, M_U:M_U + 1] = p2 * rinv * rinv
-        if write_perr:
-            m_ref[rows, M_PERR:M_PERR + 1] = pred
-        n_norm = n_norm + jnp.sum(normal)
-        s_pred = s_pred + jnp.sum(normal * pred)
-        mx = jnp.maximum(mx, jnp.max(normal * jnp.abs(pred)))
-        n_neg = n_neg + jnp.sum(alive * nsing * jnp.where(clamped, 1.0, 0.0))
-        return n_norm, s_pred, mx, n_neg
+            walk(out_d, (lx, ly))
 
-    # ---- the Jacobi loop (semantics of tile_physics.tile_jacobi) -------------
-    def loop_body(c):
-        accel_pass()
-        walk(out_d, "div")
+        def fin(qt, carry):
+            rows, ap = div_terms(qt, lx, ly)
+            return finish(qt, rows, ap, carry)
+
         z = jnp.float32(0.0)
-        n_norm, s_pred, mx, n_neg = jax.lax.fori_loop(
-            0, NT, div_update, (z, z, z, z), unroll=False
+        return jax.lax.fori_loop(0, NT, fin, (z, z, z, z), unroll=False)
+
+    def init_pressure(p0_lane):
+        def init_tile(qt, _):
+            rows = pl.ds(qt * tq, tq)
+            p = t_ref[rows, p0_lane:p0_lane + 1]
+            rinv = t_ref[rows, T_RINV:T_RINV + 1]
+            m_ref[rows, M_P:M_P + 1] = p
+            m_ref[rows, M_U:M_U + 1] = p * rinv * rinv
+            return 0
+
+        jax.lax.fori_loop(0, NT, init_tile, 0, unroll=False)
+
+    def solve(src_lane, dt, tol, rho0, *, density_type: bool, max_iters: int,
+              write_perr: bool):
+        """The Jacobi loop (tile_physics.tile_jacobi semantics) + final accel.
+        src is read from T lane src_lane (>= T_LANES means an M lane,
+        offset-encoded as src_lane - 64)."""
+        from_m = src_lane >= 64
+        sl = src_lane - 64 if from_m else src_lane
+        src_ref = m_ref if from_m else t_ref
+
+        def p_update(qt, rows, ap, carry):
+            n_norm, s_pred, mx, n_neg = carry
+            m_ref[rows, M_AP:M_AP + 1] = ap
+            src = src_ref[rows, sl:sl + 1]
+            nsing = t_ref[rows, T_NSING:T_NSING + 1]
+            alive = t_ref[rows, T_ALIVE:T_ALIVE + 1]
+            rinv = t_ref[rows, T_RINV:T_RINV + 1]
+            r = src - ap
+            p1 = (m_ref[rows, M_P:M_P + 1]
+                  + t_ref[rows, T_WAII:T_WAII + 1] * r) * nsing
+            if density_type:
+                pred = t_ref[rows, T_RHO:T_RHO + 1] * (dt * dt) * r
+            else:
+                pred = dt * r
+            clamped = p1 <= 0.0
+            p2 = jnp.where(clamped, 0.0, p1)
+            normal = alive * nsing * jnp.where(clamped, 0.0, 1.0)
+            m_ref[rows, M_P:M_P + 1] = p2
+            m_ref[rows, M_U:M_U + 1] = p2 * rinv * rinv
+            if write_perr:
+                m_ref[rows, M_PERR:M_PERR + 1] = pred
+            n_norm = n_norm + jnp.sum(normal)
+            s_pred = s_pred + jnp.sum(normal * pred)
+            mx = jnp.maximum(mx, jnp.max(normal * jnp.abs(pred)))
+            n_neg = n_neg + jnp.sum(
+                alive * nsing * jnp.where(clamped, 1.0, 0.0))
+            return n_norm, s_pred, mx, n_neg
+
+        def loop_body(c):
+            accel_pass()
+            n_norm, s_pred, mx, n_neg = div_of((M_AX, M_AY), p_update)
+            avg = jnp.where(n_norm > 0.0, s_pred / jnp.maximum(n_norm, 1.0),
+                            jnp.float32(jnp.nan))
+            if density_type:
+                ok = jnp.abs(avg / rho0) < tol
+            else:
+                ok = jnp.abs(avg) < tol / dt
+            conv = (n_norm == 0.0) | ok
+            brk = (conv & (c["iters"] > 1)) | (c["iters"] == max_iters)
+            return dict(
+                iters=jnp.where(brk, c["iters"], c["iters"] + 1),
+                done=brk, avg=avg, max=mx, normal=n_norm, negative=n_neg,
+            )
+
+        out = jax.lax.while_loop(
+            lambda c: ~c["done"],
+            loop_body,
+            dict(iters=jnp.int32(0), done=jnp.bool_(False),
+                 avg=jnp.float32(0.0), max=jnp.float32(0.0),
+                 normal=jnp.float32(0.0), negative=jnp.float32(0.0)),
         )
-        avg = jnp.where(n_norm > 0.0, s_pred / jnp.maximum(n_norm, 1.0),
-                        jnp.float32(jnp.nan))
-        if density_type:
-            ok = jnp.abs(avg / rho0) < tol
-        else:
-            ok = jnp.abs(avg) < tol / dt
-        conv = (n_norm == 0.0) | ok
-        brk = (conv & (c["iters"] > 1)) | (c["iters"] == max_iters)
-        return dict(
-            iters=jnp.where(brk, c["iters"], c["iters"] + 1),
-            done=brk, avg=avg, max=mx, normal=n_norm, negative=n_neg,
-        )
 
-    out = jax.lax.while_loop(
-        lambda c: ~c["done"],
-        loop_body,
-        dict(iters=jnp.int32(0), done=jnp.bool_(False),
-             avg=jnp.float32(0.0), max=jnp.float32(0.0),
-             normal=jnp.float32(0.0), negative=jnp.float32(0.0)),
-    )
+        accel_pass()  # final pressure accel from the converged p (rs:1499)
+        return out
 
-    accel_pass()  # final pressure accel from the converged p (rs:1499)
+    def write_stats(stats_ref, out, off):
+        stats_ref[off + S_ITERS] = out["iters"].astype(jnp.float32)
+        stats_ref[off + S_AVG] = out["avg"]
+        stats_ref[off + S_MAX] = out["max"]
+        stats_ref[off + S_NORMAL] = out["normal"]
+        stats_ref[off + S_NEG] = out["negative"]
 
-    stats_ref[S_ITERS] = out["iters"].astype(jnp.float32)
-    stats_ref[S_AVG] = out["avg"]
-    stats_ref[S_MAX] = out["max"]
-    stats_ref[S_NORMAL] = out["normal"]
-    stats_ref[S_NEG] = out["negative"]
+    return dict(prologue=prologue, walk=walk, accel_pass=accel_pass,
+                div_of=div_of, init_pressure=init_pressure, solve=solve,
+                write_stats=write_stats, NT=NT)
+
+
+def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
+                   wres, sbuf, out_a, out_d, i8_ref, sem, psem, *,
+                   tq: int, r_blocks: int, b_max: int, w2020: bool,
+                   density_type: bool, max_iters: int, mp: float,
+                   write_perr: bool):
+    i8_ref[:] = jnp.eye(8, dtype=jnp.float32)
+    P = _solver_parts(cnt_ref, meta_ref, w_hbm, t_ref, m_ref, wres, sbuf,
+                      out_a, out_d, i8_ref, sem, psem, tq=tq,
+                      r_blocks=r_blocks, b_max=b_max, w2020=w2020, mp=mp)
+    NT = P["NT"]
+    dt, tol, rho0 = scal_ref[0], scal_ref[1], scal_ref[2]
+
+    P["prologue"]()
+    P["init_pressure"](T_P0)
+
+    def clear_perr(qt, _):
+        rows = pl.ds(qt * tq, tq)
+        m_ref[rows, M_PERR:M_PERR + 1] = jnp.zeros((tq, 1), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, NT, clear_perr, 0, unroll=False)
+
+    out = P["solve"](T_SRC, dt, tol, rho0, density_type=density_type,
+                     max_iters=max_iters, write_perr=write_perr)
+    P["write_stats"](stats_ref, out, 0)
     for k in range(5, 8):
         stats_ref[k] = jnp.float32(0.0)
 
@@ -368,19 +443,149 @@ def jacobi_solve(weights, meta, cnt, table, scal, tq: int, *, b_max: int,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-
-    def kern_with_eye(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref,
-                      stats_ref, wres, sbuf, out_a, out_d, i8_ref, sem, psem):
-        i8_ref[:] = jnp.eye(8, dtype=jnp.float32)
-        kern(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
-             wres, sbuf, out_a, out_d, i8_ref, sem, psem)
-
     m, stats = pl.pallas_call(
-        kern_with_eye,
+        kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((C, M_LANES), jnp.float32),
             jax.ShapeDtypeStruct((8,), jnp.float32),
+        ),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+    )(cnt, meta, scal, weights, table)
+    return m, stats
+
+
+def _hybrid_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
+                   wres, sbuf, out_a, out_d, i8_ref, sem, psem, *,
+                   tq: int, r_blocks: int, b_max: int, w2020: bool,
+                   max_iters: int, mp: float, den_with_div: bool):
+    """The whole HybridDFSPH solver section (simulation.rs:2502-2670 minus
+    integration): src_div = -div(v)/dt; divergence solve; v += dt*a;
+    src_den = src0 [- div(v)/dt]; density solve. scal = [dt, tol_div,
+    tol_den, rho0]."""
+    i8_ref[:] = jnp.eye(8, dtype=jnp.float32)
+    P = _solver_parts(cnt_ref, meta_ref, w_hbm, t_ref, m_ref, wres, sbuf,
+                      out_a, out_d, i8_ref, sem, psem, tq=tq,
+                      r_blocks=r_blocks, b_max=b_max, w2020=w2020, mp=mp)
+    NT = P["NT"]
+    dt = scal_ref[0]
+    tol_div = scal_ref[1]
+    tol_den = scal_ref[2]
+    rho0 = scal_ref[3]
+
+    P["prologue"]()
+
+    # init: velocities into M, divergence-solve warm start, clear perr
+    def init_tile(qt, _):
+        rows = pl.ds(qt * tq, tq)
+        m_ref[rows, M_VX:M_VX + 1] = t_ref[rows, T_VX0:T_VX0 + 1]
+        m_ref[rows, M_VY:M_VY + 1] = t_ref[rows, T_VY0:T_VY0 + 1]
+        m_ref[rows, M_PERR:M_PERR + 1] = jnp.zeros((tq, 1), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, NT, init_tile, 0, unroll=False)
+    P["init_pressure"](T_P0DIV)
+
+    # divergence source: src = -div(v)/dt (simulation.rs:1633-1659 via the
+    # same discretized divergence operator)
+    def src_store(qt, rows, ap, carry):
+        m_ref[rows, M_SRC:M_SRC + 1] = -ap / dt
+        return carry
+
+    P["div_of"]((M_VX, M_VY), src_store)
+
+    out_div = P["solve"](64 + M_SRC, dt, tol_div, rho0, density_type=False,
+                         max_iters=max_iters, write_perr=False)
+    P["write_stats"](stats_ref, out_div, 8)
+
+    # v += dt * a_div; stash the divergence pressure; re-init for density
+    def v_update(qt, _):
+        rows = pl.ds(qt * tq, tq)
+        m_ref[rows, M_VX:M_VX + 1] = (m_ref[rows, M_VX:M_VX + 1]
+                                      + dt * m_ref[rows, M_AX:M_AX + 1])
+        m_ref[rows, M_VY:M_VY + 1] = (m_ref[rows, M_VY:M_VY + 1]
+                                      + dt * m_ref[rows, M_AY:M_AY + 1])
+        m_ref[rows, M_PDIV:M_PDIV + 1] = m_ref[rows, M_P:M_P + 1]
+        return 0
+
+    jax.lax.fori_loop(0, NT, v_update, 0, unroll=False)
+    P["init_pressure"](T_P0)
+
+    # density source (simulation.rs:1661-1748): the density part arrives
+    # precomputed in T_SRC; DensityAndDivergence subtracts div(v)/dt
+    if den_with_div:
+        def src2_store(qt, rows, ap, carry):
+            m_ref[rows, M_SRC:M_SRC + 1] = (
+                t_ref[rows, T_SRC:T_SRC + 1] - ap / dt)
+            return carry
+
+        P["div_of"]((M_VX, M_VY), src2_store)
+    else:
+        def src2_copy(qt, _):
+            rows = pl.ds(qt * tq, tq)
+            m_ref[rows, M_SRC:M_SRC + 1] = t_ref[rows, T_SRC:T_SRC + 1]
+            return 0
+
+        jax.lax.fori_loop(0, NT, src2_copy, 0, unroll=False)
+
+    out_den = P["solve"](64 + M_SRC, dt, tol_den, rho0, density_type=True,
+                         max_iters=max_iters, write_perr=True)
+    P["write_stats"](stats_ref, out_den, 0)
+    for k in (5, 6, 7, 13, 14, 15):
+        stats_ref[k] = jnp.float32(0.0)
+
+
+def hybrid_solve(weights, meta, cnt, table, scal, tq: int, *, b_max: int,
+                 w2020: bool, max_iters: int, mp: float, den_with_div: bool,
+                 interpret=None):
+    """Whole HybridDFSPH solver section in one kernel.
+
+    table: (C, 20) f32 (lanes above; T_SRC carries the precomputed density
+    source part, T_P0DIV/T_P0 the two warm starts, T_VX0/T_VY0 the
+    post-first-kick velocities). scal: (4,) [dt, tol_div, tol_den, rho0].
+    Returns (M (C, 16), stats (16,)): M carries the density pressure (M_P),
+    its error (M_PERR), final accel (M_AX/M_AY), post-div-solve velocities
+    (M_VX/M_VY), the divergence pressure (M_PDIV) and the density source
+    (M_SRC); stats[0:5] density solve, stats[8:13] divergence solve."""
+    C = table.shape[0]
+    NT = C // tq
+    if interpret is None:
+        interpret = default_interpret()
+    r_blocks = resident_blocks(C, tq, b_max, weights.dtype)
+    kern = functools.partial(
+        _hybrid_kernel, tq=tq, r_blocks=r_blocks, b_max=b_max, w2020=w2020,
+        max_iters=int(max_iters), mp=float(mp), den_with_div=den_with_div,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r_blocks, TILE, _lane_width(tq)), weights.dtype),
+            pltpu.VMEM((NBUF, GRP, TILE, _lane_width(tq)), weights.dtype),
+            pltpu.VMEM((NT, 8, tq), jnp.float32),
+            pltpu.VMEM((NT, 8, tq), jnp.float32),
+            pltpu.VMEM((8, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    m, stats = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, M_LANES_H), jnp.float32),
+            jax.ShapeDtypeStruct((16,), jnp.float32),
         ),
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(

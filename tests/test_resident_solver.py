@@ -106,6 +106,28 @@ def test_resident_warm_start():
     _diff_resident(params, _dam_scene(), steps=4)
 
 
+def test_resident_only_divergence():
+    # covers the per-solve jacobi_solve kernel at DIVERGENCE residual type
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.OnlyDivergence,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_resident(params, _dam_scene(), steps=3)
+
+
+def test_resident_hybrid_accel_after_div():
+    # non_pressure_accel_before_divergence_free=False needs the viscosity
+    # sweep between the solves, so the one-kernel hybrid path must fall back
+    # to two per-solve resident kernels
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        hybrid_dfsph_non_pressure_accel_before_divergence_free=False,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_resident(params, _dam_scene(), steps=3)
+
+
 def test_resident_bf16_weights_converges():
     # bf16 blocks perturb the operator (~0.4% relative) so this is not a
     # tight differential: assert the resident+bf16 run converges to the same
