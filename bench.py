@@ -28,13 +28,16 @@ REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "1"))
 # p=0 like simulation.rs:1143/1169/1190) instead of the disclosed
 # warm-start-pressure extension; PERFORMANCE.md records both numbers.
 COLD = os.environ.get("ASPH_BENCH_COLD", "0") == "1"
-# ASPH_BENCH_RESIDENT=1: whole-solve resident Jacobi kernel (same math/tolerance
-# contract, ops/pallas_jacobi.py). ASPH_BENCH_BF16=1: bf16 weight-cache blocks.
-RESIDENT = os.environ.get("ASPH_BENCH_RESIDENT", "0") == "1"
+# ASPH_BENCH_RESIDENT: whole-solve resident Jacobi kernels (same math and
+# tolerance contract, ops/pallas_jacobi.py). "auto" (default) benches the
+# resident path only after an on-device 3-step cross-check against the
+# streamed path (max position delta < 1e-4), falling back to streamed on any
+# mismatch or kernel failure; "1"/"0" force one path with no check.
+RESIDENT_MODE = os.environ.get("ASPH_BENCH_RESIDENT", "auto")
 BF16 = os.environ.get("ASPH_BENCH_BF16", "0") == "1"
 
 
-def build_sim(replicas: int = None):
+def build_sim(replicas: int = None, resident: bool = None):
     from adaptive_sph_tpu.models import scene as scene_mod
     from adaptive_sph_tpu.runner import create_simulation
     from adaptive_sph_tpu.utils.params import SimulationParams, params_from_dict
@@ -69,10 +72,45 @@ def build_sim(replicas: int = None):
         # pressure solve from the previous step; the solves still run to the same
         # avg-error tolerances above, with ~5-7x fewer Jacobi iterations.
         warm_start_pressure=not COLD,
-        resident_solver=RESIDENT,
+        resident_solver=(RESIDENT_MODE == "1") if resident is None else resident,
         weight_cache_bf16=BF16,
     )
     return create_simulation(params, scene, counters_enabled=False)
+
+
+def pick_resident(verbose):
+    """Resolve ASPH_BENCH_RESIDENT=auto: cross-check the resident kernels
+    against the streamed path on-device (3 steps, tiny scene) before trusting
+    them for the timed run."""
+    import sys
+
+    import numpy as np
+
+    if RESIDENT_MODE != "auto":
+        return RESIDENT_MODE == "1"
+    try:
+        states = {}
+        for resident in (False, True):
+            sim = build_sim(replicas=1, resident=resident)
+            for _ in range(3):
+                sim.step()
+            states[resident] = np.asarray(sim.state.position)[
+                np.asarray(sim.state.alive)
+            ]
+        delta = float(np.abs(states[True] - states[False]).max())
+        ok = delta < 1e-4
+        if verbose:
+            print(f"resident cross-check: max pos delta {delta:.2e} -> "
+                  f"{'resident' if ok else 'STREAMED FALLBACK'}",
+                  file=sys.stderr, flush=True)
+        return ok
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        print("resident cross-check failed; streamed fallback",
+              file=sys.stderr, flush=True)
+        return False
 
 
 def main():
@@ -85,7 +123,8 @@ def main():
     # whole measured run is a single on-device scan
     chunk = int(os.environ.get("ASPH_BENCH_CHUNK", "192"))
     t0 = time.perf_counter()
-    sim = build_sim()
+    resident = pick_resident(verbose)
+    sim = build_sim(resident=resident)
     n = sim.num_fluid_particles
 
     # warmup: compile both the single step and the scanned chunk
@@ -119,7 +158,9 @@ def main():
                 "metric": (
                     "particle-updates/sec/chip on ratio-stress-test"
                     f" (x{REPLICAS} block tiling, n={n}"
-                    + (", cold-start solves)" if COLD else ")")
+                    + (", cold-start solves" if COLD else "")
+                    + (", resident solver" if resident else "")
+                    + ")"
                 ),
                 "value": float(updates_per_sec),
                 "unit": "updates/s",

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_scenario(name, t_end, chunk=64):
+def run_scenario(name, t_end, chunk=64, backend=None):
     import jax
 
     from adaptive_sph_tpu.models import scene as scene_mod
@@ -90,10 +90,8 @@ def run_scenario(name, t_end, chunk=64):
     else:
         raise ValueError(name)
 
-    if name == "stress":
-        sim = create_simulation(params, scene, counters_enabled=True)
-    else:
-        sim = create_simulation(params, scene, counters_enabled=True)
+    sim = create_simulation(params, scene, counters_enabled=True,
+                            backend=backend or "auto")
     n0 = sim.num_fluid_particles
     mass0 = float(np.sum(np.asarray(sim.state.mass)[np.asarray(sim.state.alive)]))
     w2 = scene.boundary_width / 2 + 0.1
@@ -163,6 +161,8 @@ def run_scenario(name, t_end, chunk=64):
         "avg_dt": float(np.mean(dts)),
         "wall_s": wall,
         "ms_per_step": wall / max(steps, 1) * 1000,
+        "backend": sim.backend,
+        "platform": jax.default_backend(),
     }
     print(json.dumps(out, indent=1), flush=True)
     ok = (contained and out["mass_drift"] < 1e-3 and viol["den"] == 0
@@ -174,12 +174,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scenarios", nargs="*", default=["dam", "stress"])
     ap.add_argument("--t-scale", type=float, default=1.0)
+    ap.add_argument("--backend", default=None,
+                    help="force a backend (e.g. lists for CPU runs; the tile "
+                         "engine is interpret-mode off-TPU and too slow there)")
     args = ap.parse_args()
     targets = {"dam": 1.0, "stress": 0.25, "onlydiv": 20.0, "resampling": 0.4}
     results = {}
     all_ok = True
     for name in (args.scenarios or ["dam", "stress"]):
-        out, ok = run_scenario(name, targets[name] * args.t_scale)
+        out, ok = run_scenario(name, targets[name] * args.t_scale,
+                               backend=args.backend)
         results[name] = out
         all_ok = all_ok and ok
         print(f"{name}: {'PASS' if ok else 'FAIL'}", flush=True)
