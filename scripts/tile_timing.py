@@ -170,6 +170,17 @@ def main():
     t = scan_time(streamed_solve, zc, wc, wmb, wcnt, iters=8)
     print(f"streamed solve:           {t*1000:7.3f} ms")
 
+    def hybrid_resident(p0, w, m, c):
+        res_div, res_den, v2x, v2y, src2 = tp.tile_hybrid_resident(
+            w, m, c, tcfg.tq, tcfg.b_max, aii1, alive1, params, dt1, rho1,
+            rinv1, zc, zc, None, None, zc, zc, "none", p0, p0,
+            den_with_div=True,
+        )
+        return p0 + 0.0 * res_den.pressure
+
+    t = scan_time(hybrid_resident, zc, wc, wmb, wcnt, iters=8)
+    print(f"hybrid solver section:    {t*1000:7.3f} ms  (both solves + src)")
+
     t = scan_time(
         lambda s: sim.step_fn(s)[0],
         st,
