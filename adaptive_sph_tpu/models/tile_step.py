@@ -433,12 +433,19 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     p_prev_s = col("pressure") if warm else None
     pdiv_prev_s = col("pressure_div") if warm else None
 
-    resident = (
-        use_wcache
-        and halo is None
-        and (params.resident_solver
-             or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1")
-    )
+    if use_wcache:
+        from ..ops.pallas_jacobi import resident_supported
+
+        resident = (
+            halo is None
+            and (params.resident_solver
+                 or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1")
+            and resident_supported(
+                tcfg.capacity, tcfg.tq,
+                jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32)
+        )
+    else:
+        resident = False
 
     def jacobi(src, tol, rtype, p0=None):
         if resident:

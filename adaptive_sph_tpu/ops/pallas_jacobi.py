@@ -69,6 +69,19 @@ S_ITERS, S_AVG, S_MAX, S_NORMAL, S_NEG = 0, 1, 2, 3, 4
 _VMEM_BUDGET = 100 * 1024 * 1024  # resident region sized to fit under this
 
 
+def resident_supported(capacity: int, tq: int, wdtype) -> bool:
+    """The fixed VMEM footprint (lane-padded T+M tables, walk accumulators,
+    stream ring) must leave a usable resident region; very large single-chip
+    capacities (~>40k at f32) exceed it and keep the streamed path (the slab
+    sharding keeps per-device counts moderate anyway)."""
+    wbytes = jnp.dtype(wdtype).itemsize
+    block = TILE * _lane_width(tq) * wbytes
+    nt = capacity // tq
+    fixed = (2 * capacity * 128 * 4 + 2 * nt * 8 * tq * 4
+             + NBUF * GRP * block + (1 << 20))
+    return fixed + 64 * block <= _VMEM_BUDGET
+
+
 def resident_blocks(capacity: int, tq: int, b_max: int, wdtype) -> int:
     """Largest resident weight region that keeps total VMEM under budget."""
     import os

@@ -128,6 +128,30 @@ def test_resident_hybrid_accel_after_div():
     _diff_resident(params, _dam_scene(), steps=3)
 
 
+def test_resident_supported_gate():
+    # very large capacities must refuse the resident kernels (their fixed VMEM
+    # tables would exceed the budget and fail Mosaic compile on-chip)
+    import jax.numpy as jnp
+
+    from adaptive_sph_tpu.ops.pallas_jacobi import resident_supported
+
+    assert resident_supported(24576, 64, jnp.float32)
+    assert resident_supported(49152, 64, jnp.float32)
+    assert not resident_supported(98304, 64, jnp.float32)
+
+
+def test_resident_hybrid_only_density_source():
+    # den_with_div=False branch of the one-kernel hybrid (OnlyDensity source)
+    from adaptive_sph_tpu.utils.params import HybridDfsphDensitySourceTerm
+
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        hybrid_dfsph_density_source_term=HybridDfsphDensitySourceTerm.OnlyDensity,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_resident(params, _dam_scene(), steps=3)
+
+
 def test_resident_bf16_weights_converges():
     # bf16 blocks perturb the operator (~0.4% relative) so this is not a
     # tight differential: assert the resident+bf16 run converges to the same
