@@ -136,6 +136,11 @@ def run_scenario(name, t_end, chunk=64, backend=None):
             if k in dlist:
                 store.extend(np.atleast_1d(np.asarray(dlist[k])).tolist())
         dts.extend(np.atleast_1d(np.asarray(dlist["dt"])).tolist())
+        if steps % 512 < len(np.atleast_1d(dlist["dt"])):
+            print(f"  [{name}] t={float(sim.time):.3f}/{t_end} steps={steps} "
+                  f"n={sim.num_fluid_particles} "
+                  f"wall={time.perf_counter()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
 
     wall = time.perf_counter() - t0
     alive = np.asarray(sim.state.alive)
