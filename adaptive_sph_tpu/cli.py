@@ -37,6 +37,11 @@ def main(argv=None):
     p_run.add_argument("--web-every", type=int, default=2)
     p_run.add_argument("--checkpoint", default=None, help="save final state to this .npz")
     p_run.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
+    p_run.add_argument(
+        "--watch-config", default=None,
+        help="live tuning: poll this overwrite-config YAML every step and apply "
+        "changes to the running simulation (the reference's egui properties "
+        "window analogue; one recompile per edit)")
 
     p_img = sub.add_parser("image", help="Offline image/video export")
     p_img.add_argument("export_configs", nargs="+")
@@ -97,9 +102,30 @@ def cmd_run(args):
         web = WebExporter(args.web_dir, scene_width=2.0)
         web.set_boundary_segments(boundary_segments(sim.boundary_handler))
 
+    watch_mtime = None
+    if args.watch_config:
+        import os as _os
+
+        watch_mtime = _os.path.getmtime(args.watch_config) if _os.path.exists(
+            args.watch_config) else 0.0
+
     step = 0
     try:
         while step < args.max_steps:
+            if args.watch_config:
+                import os as _os
+
+                m = (_os.path.getmtime(args.watch_config)
+                     if _os.path.exists(args.watch_config) else 0.0)
+                if m != watch_mtime:
+                    watch_mtime = m
+                    try:
+                        sim.update_params(load_params(
+                            args.simulation_config, overwrite_path=args.watch_config))
+                        print(f"live params reloaded from {args.watch_config}")
+                    except Exception as e:  # a mid-edit/bad YAML keeps old params
+                        print(f"live params reload failed (keeping old): {e}",
+                              file=sys.stderr)
             diag = sim.step()
             step += 1
             line = (

@@ -8,6 +8,7 @@ and panic guards become structured checks here).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -138,6 +139,20 @@ class Simulation:
         )
         self._chunked = {}
         self.counters.add_value("capacity-growth", float(new_cap))
+
+    def update_params(self, params):
+        """Swap SimulationParams on a RUNNING simulation and recompile the step
+        — the TPU analogue of the reference's egui live tuning (the sim thread
+        re-reads the shared params every frame, main_loop.rs:280-281). Solver,
+        adaptivity, viscosity, tolerance, debug-check fields all apply; the
+        scene and the boundary-handler TYPE stay fixed (the reference restarts
+        for those too). One recompile per change (cached thereafter)."""
+        self.params = params
+        self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = _compile_step(
+            params, self.scene, self.state, self.backend,
+            self.boundary_handler, self.split_patterns,
+        )
+        self._chunked = {}
 
     def _check_split_diag(self, missing, deferred):
         if self.params.fail_on_missing_split_pattern and missing > 0:
@@ -298,10 +313,12 @@ def _tile_tq(state, params, gcfg, host=None) -> int:
                         jax.device_get((state.mass, state.position, state.alive))))
     n = int(np.sum(host["alive"]))
     rows = _tile_row_count(state, params, gcfg, host=host)
-    for tq in (64, 32, 16):
+    force = os.environ.get("ASPH_TQ")  # experiment knob: wider/narrower tiles
+    candidates = (int(force),) if force else (64, 32, 16)
+    for tq in candidates:
         if n + 2.0 * rows * tq <= state.capacity:
             return tq
-    return 16
+    return int(force) if force else 16
 
 
 def _tile_row_count(state, params, gcfg, host=None) -> int:

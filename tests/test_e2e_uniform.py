@@ -159,3 +159,22 @@ def test_particle_boundary_handler():
     assert np.all(np.abs(pos) < 0.6)  # boundary particles keep fluid inside
     rho = np.asarray(sim.state.density)[alive]
     assert np.all(np.isfinite(rho)) and rho.max() < 1.4
+
+
+def test_live_params_update():
+    """update_params swaps SimulationParams on a running sim (the reference's
+    egui live-tuning analogue, main_loop.rs:280-281): the recompiled step must
+    run from the current state and the new values must take effect."""
+    import dataclasses
+
+    import numpy as np
+
+    sim, _ = run_steps(make_params(), 2)
+    t_before = sim.time
+    # live-tune: zero gravity and loosen the tolerance
+    sim.update_params(dataclasses.replace(
+        sim.params, gravity=0.0, iisph_max_avg_density_error=0.01))
+    d = sim.step()
+    assert sim.time > t_before
+    assert float(sim.params.gravity_vector(2)[1]) == 0.0
+    assert np.isfinite(float(d["dt"]))
