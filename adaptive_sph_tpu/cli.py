@@ -120,8 +120,16 @@ def cmd_run(args):
                 if m != watch_mtime:
                     watch_mtime = m
                     try:
+                        import yaml as _yaml
+
+                        with open(args.watch_config) as f:
+                            edits = _yaml.safe_load(f) or {}
+                        # full layer stack: base + --overwrite-config-file,
+                        # THEN the live edits on top
                         sim.update_params(load_params(
-                            args.simulation_config, overwrite_path=args.watch_config))
+                            args.simulation_config,
+                            overwrite_path=args.overwrite_config_file,
+                            update_attributes=edits))
                         print(f"live params reloaded from {args.watch_config}")
                     except Exception as e:  # a mid-edit/bad YAML keeps old params
                         print(f"live params reload failed (keeping old): {e}",

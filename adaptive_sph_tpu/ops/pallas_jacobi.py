@@ -69,16 +69,26 @@ S_ITERS, S_AVG, S_MAX, S_NORMAL, S_NEG = 0, 1, 2, 3, 4
 _VMEM_BUDGET = 100 * 1024 * 1024  # resident region sized to fit under this
 
 
-def resident_supported(capacity: int, tq: int, wdtype) -> bool:
-    """The fixed VMEM footprint (lane-padded T+M tables, walk accumulators,
-    stream ring) must leave a usable resident region; very large single-chip
-    capacities (~>40k at f32) exceed it and keep the streamed path (the slab
-    sharding keeps per-device counts moderate anyway)."""
+def _fixed_vmem(capacity: int, tq: int, wdtype):
+    """Non-weight VMEM footprint of the solver kernels + one block's bytes."""
     wbytes = jnp.dtype(wdtype).itemsize
     block = TILE * _lane_width(tq) * wbytes
     nt = capacity // tq
-    fixed = (2 * capacity * 128 * 4 + 2 * nt * 8 * tq * 4
-             + NBUF * GRP * block + (1 << 20))
+    fixed = (
+        2 * capacity * 128 * 4          # T + M tables, both lane-padded to 128
+        + 2 * nt * 8 * tq * 4           # OUT_A / OUT_D
+        + NBUF * GRP * block            # stream ring
+        + (1 << 20)                     # slack (I8, control)
+    )
+    return fixed, block
+
+
+def resident_supported(capacity: int, tq: int, wdtype) -> bool:
+    """The fixed VMEM footprint (lane-padded T+M tables, walk accumulators,
+    stream ring) must leave a usable resident region; very large single-chip
+    capacities (~>50k at f32) exceed it and keep the streamed path (the slab
+    sharding keeps per-device counts moderate anyway)."""
+    fixed, block = _fixed_vmem(capacity, tq, wdtype)
     return fixed + 64 * block <= _VMEM_BUDGET
 
 
@@ -89,16 +99,8 @@ def resident_blocks(capacity: int, tq: int, b_max: int, wdtype) -> int:
     force = os.environ.get("ASPH_RESIDENT_BLOCKS")  # test knob: force a tiny
     if force:                                       # region to hit the tail
         return max(GRP, (int(force) // GRP) * GRP)
-    wbytes = jnp.dtype(wdtype).itemsize
-    block = TILE * _lane_width(tq) * wbytes
-    nt = capacity // tq
-    other = (
-        2 * capacity * 128 * 4          # T + M, both lane-padded to 128
-        + 2 * nt * 8 * tq * 4           # OUT_A / OUT_D
-        + NBUF * GRP * block            # stream ring
-        + (1 << 20)                     # slack (I8, control)
-    )
-    r = max(GRP, (_VMEM_BUDGET - other) // block)
+    fixed, block = _fixed_vmem(capacity, tq, wdtype)
+    r = max(GRP, (_VMEM_BUDGET - fixed) // block)
     return int(min((r // GRP) * GRP, ((b_max + GRP - 1) // GRP) * GRP))
 
 
@@ -342,9 +344,13 @@ def _solver_parts(cnt_ref, meta_ref, w_hbm, t_ref, m_ref, wres, sbuf,
             m_ref[rows, M_U:M_U + 1] = p2 * rinv * rinv
             if write_perr:
                 m_ref[rows, M_PERR:M_PERR + 1] = pred
+            # mask with where (NOT multiplication): 0 * Inf/NaN on a
+            # non-normal row would poison the statistics — tile_jacobi uses
+            # jnp.where(is_normal, predicted, 0.0) for the same reason
             n_norm = n_norm + jnp.sum(normal)
-            s_pred = s_pred + jnp.sum(normal * pred)
-            mx = jnp.maximum(mx, jnp.max(normal * jnp.abs(pred)))
+            s_pred = s_pred + jnp.sum(jnp.where(normal > 0.0, pred, 0.0))
+            mx = jnp.maximum(
+                mx, jnp.max(jnp.where(normal > 0.0, jnp.abs(pred), 0.0)))
             n_neg = n_neg + jnp.sum(
                 alive * nsing * jnp.where(clamped, 1.0, 0.0))
             return n_norm, s_pred, mx, n_neg

@@ -35,7 +35,7 @@ from flax import struct
 
 from .grid import GridConfig
 
-TILE = 64
+TILE = 64  # tile/chunk width: queries per tile == candidates per chunk read
 
 
 def default_interpret() -> bool:
@@ -48,7 +48,6 @@ def default_interpret() -> bool:
         return False
     import jax
     return jax.default_backend() != "tpu"
-  # tile/chunk width: queries per tile == candidates per chunk read
 
 
 @dataclasses.dataclass(frozen=True)

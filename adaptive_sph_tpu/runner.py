@@ -146,12 +146,23 @@ class Simulation:
         re-reads the shared params every frame, main_loop.rs:280-281). Solver,
         adaptivity, viscosity, tolerance, debug-check fields all apply; the
         scene and the boundary-handler TYPE stay fixed (the reference restarts
-        for those too). One recompile per change (cached thereafter)."""
-        self.params = params
-        self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = _compile_step(
+        for those too). One recompile per change (cached thereafter).
+
+        Applies the same init-time normalization as create_simulation (uniform
+        h from block-0 spacing — YAML files carry h: 0.0), and only commits
+        self.params once the recompile succeeded, so a failed live edit leaves
+        the simulation fully on the old configuration."""
+        params = params_mod.init_h_for_uniform(
+            params, self.scene.blocks[0].spacing,
+            self.scene.blocks[0].volume_fill_ratio,
+        )
+        step_fn, ncfg, tile_cfg, grid_cfg = _compile_step(
             params, self.scene, self.state, self.backend,
             self.boundary_handler, self.split_patterns,
         )
+        self.params = params
+        self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = (
+            step_fn, ncfg, tile_cfg, grid_cfg)
         self._chunked = {}
 
     def _check_split_diag(self, missing, deferred):

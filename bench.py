@@ -126,6 +126,16 @@ def main():
     resident = pick_resident(verbose)
     sim = build_sim(resident=resident)
     n = sim.num_fluid_particles
+    if resident:
+        # the step gates the resident kernels off above a VMEM-bounded
+        # capacity (large REPLICAS) — label the metric with what actually ran
+        import jax.numpy as jnp
+
+        from adaptive_sph_tpu.ops.pallas_jacobi import resident_supported
+
+        resident = resident_supported(
+            sim.tile_cfg.capacity, sim.tile_cfg.tq,
+            jnp.bfloat16 if BF16 else jnp.float32)
 
     # warmup: compile both the single step and the scanned chunk
     tw = time.perf_counter()

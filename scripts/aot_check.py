@@ -8,10 +8,15 @@ Pallas kernel and the whole jitted step locally, independent of the axon tunnel.
 Usage: PYTHONPATH= JAX_PLATFORMS=cpu python scripts/aot_check.py [--resident] [--bf16]
 """
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# force real Mosaic lowering — without this, default_interpret() sees a CPU
+# backend and the "AOT check" would compile interpret-mode emulations instead
+os.environ["ASPH_FORCE_MOSAIC"] = "1"
 
 
 def main():
