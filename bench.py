@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache (same path as the test suite); repeat bench
+# invocations skip recompiling unchanged steps where the backend supports it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/asph_jax_cache")
+
 REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "1"))
 # ASPH_BENCH_COLD=1: reference-parity semantics (every solve cold-starts at
 # p=0 like simulation.rs:1143/1169/1190) instead of the disclosed
