@@ -45,6 +45,60 @@ def main():
         jax.jit(fn).lower(*shaped).compile()
         print(f"AOT OK  {name:<28s} {time.time()-t0:6.1f}s")
 
+    if "--multichip" in sys.argv:
+        # slab-sharded production step (shard_map + ppermute halo exchange +
+        # Mosaic kernels) compiled for a real 4-chip v5e mesh — the CPU dryrun
+        # only exercises interpret-mode kernels; this validates the actual
+        # multi-chip TPU program
+        import numpy as np_
+
+        from adaptive_sph_tpu.models import scene as scene_mod
+        from adaptive_sph_tpu.parallel import tile_sharding as ts
+        from adaptive_sph_tpu.runner import create_simulation, grid_config_for
+        from adaptive_sph_tpu.utils.params import (
+            InitBoundaryHandlerType, ParticleSizes, PressureSolverMethod,
+            SimulationParams,
+        )
+
+        ndev = 4
+        scene = scene_mod.scene_from_dict({
+            "boundary": {"type": "box", "width": 2.0, "height": 2.0},
+            "blocks": [{"pos": [-0.95, -0.5], "size": [1.2, 0.6],
+                        "spacing": 0.03, "volume_fill_ratio": 0.93,
+                        "velocity": [0, 0]}],
+        })
+        params = SimulationParams(
+            particle_sizes=ParticleSizes.Uniform,
+            pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+            init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+            merging=False, sharing=False, splitting=False, max_iters=100,
+            warm_start_pressure=True,
+        )
+        sim = create_simulation(params, scene, capacity=2048, backend="tiles")
+        gcfg = grid_config_for(sim.params, scene, sim.state, sim.state.capacity)
+        scfg = ts.make_slab_config(sim.params, gcfg, sim.state, ndev, tq=16)
+        tmesh = ts.Mesh(np.array(topo.devices).reshape(ndev), (ts.AXIS,))
+        step = ts.make_slab_step_fn(sim.params, scfg, sim.boundary_handler,
+                                    tmesh)
+        import jax.numpy as jnp_
+        from jax.sharding import PartitionSpec as P_
+
+        def shaped(a):
+            a = jnp_.asarray(a) if not hasattr(a, "dtype") else a
+            if getattr(a, "ndim", 0) >= 1:
+                gshape = (ndev * scfg.c_dev,) + a.shape[1:]
+                spec = P_(ts.AXIS, *([None] * (a.ndim - 1)))
+            else:
+                gshape, spec = a.shape, P_()
+            return jax.ShapeDtypeStruct(gshape, a.dtype,
+                                        sharding=NamedSharding(tmesh, spec))
+
+        sst = jax.tree.map(shaped, sim.state)
+        t0 = time.time()
+        jax.jit(lambda st: step(st)[0]).lower(sst).compile()
+        print(f"AOT OK  slab step [{ndev}-chip mesh]   {time.time()-t0:6.1f}s")
+        return
+
     # the full production step at bench shapes (includes every hot kernel:
     # tile build, sweeps, fused builder, matvecs / resident solve)
     import dataclasses
