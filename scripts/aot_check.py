@@ -83,20 +83,42 @@ def main():
         import jax.numpy as jnp_
         from jax.sharding import PartitionSpec as P_
 
-        def shaped(a):
+        def shaped(a, c_dev):
             a = jnp_.asarray(a) if not hasattr(a, "dtype") else a
             if getattr(a, "ndim", 0) >= 1:
-                gshape = (ndev * scfg.c_dev,) + a.shape[1:]
+                gshape = (ndev * c_dev,) + a.shape[1:]
                 spec = P_(ts.AXIS, *([None] * (a.ndim - 1)))
             else:
                 gshape, spec = a.shape, P_()
             return jax.ShapeDtypeStruct(gshape, a.dtype,
                                         sharding=NamedSharding(tmesh, spec))
 
-        sst = jax.tree.map(shaped, sim.state)
+        sst = jax.tree.map(lambda a: shaped(a, scfg.c_dev), sim.state)
         t0 = time.time()
         jax.jit(lambda st: step(st)[0]).lower(sst).compile()
         print(f"AOT OK  slab step [{ndev}-chip mesh]   {time.time()-t0:6.1f}s")
+
+        # adaptive variant: slab-local merge/share/split partner matching
+        from adaptive_sph_tpu.utils.params import LevelEstimationMethod
+
+        params_a = params.replace(
+            particle_sizes=ParticleSizes.Adaptive,
+            level_estimation_method=LevelEstimationMethod.EmptyAngle,
+            merging=True, sharing=True, splitting=True,
+        )
+        sim_a = create_simulation(params_a, scene, capacity=2048,
+                                  backend="tiles")
+        gcfg_a = grid_config_for(sim_a.params, scene, sim_a.state,
+                                 sim_a.state.capacity)
+        scfg_a = ts.make_slab_config(sim_a.params, gcfg_a, sim_a.state, ndev,
+                                     tq=16)
+        step_a = ts.make_slab_step_fn(sim_a.params, scfg_a,
+                                      sim_a.boundary_handler, tmesh,
+                                      split_patterns=sim_a.split_patterns)
+        sst_a = jax.tree.map(lambda a: shaped(a, scfg_a.c_dev), sim_a.state)
+        t0 = time.time()
+        jax.jit(lambda st: step_a(st)[0]).lower(sst_a).compile()
+        print(f"AOT OK  slab step adaptive [{ndev}-chip] {time.time()-t0:6.1f}s")
         return
 
     # the full production step at bench shapes (includes every hot kernel:
