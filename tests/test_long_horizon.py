@@ -44,5 +44,8 @@ def test_parity_runs_artifact_is_healthy():
         assert r["contained"], name
         assert r["mass_drift"] < 1e-3, (name, r["mass_drift"])
         assert r["density_tol_violations"] == 0, name
+        # the reference's divergence contract: |avg| < tol/dt per solve
+        # (simulation.rs:1462-1469), recorded as err*dt vs tol
+        assert r.get("div_tol_violations", 0) == 0, name
         if r.get("max_avg_density_error_rel") is not None:
             assert r["max_avg_density_error_rel"] <= r["tol_density"] * 1.01, name
