@@ -93,10 +93,30 @@ def main():
             return jax.ShapeDtypeStruct(gshape, a.dtype,
                                         sharding=NamedSharding(tmesh, spec))
 
+        def collectives(compiled):
+            """Communication structure of the compiled program: op counts and
+            total all-gather bytes (the GSPMD fallback's replication cost)."""
+            import collections
+            import re
+
+            txt = compiled.as_text()
+            ops = collections.Counter(
+                m for m in re.findall(
+                    r" (all-gather|all-reduce|reduce-scatter|"
+                    r"collective-permute|all-to-all)(?:-start)?\(", txt))
+            ag_bytes = sum(
+                4 * int(np_.prod([int(x) for x in m.split(",")]))
+                for m in re.findall(
+                    r"= \(?f32\[([0-9,]+)\][^ ]* all-gather(?:-start)?\(", txt)
+            )
+            return dict(ops), ag_bytes
+
         sst = jax.tree.map(lambda a: shaped(a, scfg.c_dev), sim.state)
         t0 = time.time()
-        jax.jit(lambda st: step(st)[0]).lower(sst).compile()
-        print(f"AOT OK  slab step [{ndev}-chip mesh]   {time.time()-t0:6.1f}s")
+        comp = jax.jit(lambda st: step(st)[0]).lower(sst).compile()
+        ops, ag = collectives(comp)
+        print(f"AOT OK  slab step [{ndev}-chip mesh]   {time.time()-t0:6.1f}s"
+              f"  collectives={ops} all-gather-bytes={ag}")
 
         # adaptive variant: slab-local merge/share/split partner matching
         from adaptive_sph_tpu.utils.params import LevelEstimationMethod
@@ -117,8 +137,35 @@ def main():
                                       split_patterns=sim_a.split_patterns)
         sst_a = jax.tree.map(lambda a: shaped(a, scfg_a.c_dev), sim_a.state)
         t0 = time.time()
-        jax.jit(lambda st: step_a(st)[0]).lower(sst_a).compile()
-        print(f"AOT OK  slab step adaptive [{ndev}-chip] {time.time()-t0:6.1f}s")
+        comp = jax.jit(lambda st: step_a(st)[0]).lower(sst_a).compile()
+        ops, ag = collectives(comp)
+        print(f"AOT OK  slab step adaptive [{ndev}-chip] {time.time()-t0:6.1f}s"
+              f"  collectives={ops} all-gather-bytes={ag}")
+
+        # GSPMD particle-sharded fallback (parallel/sharding.py): compile at
+        # the same scale and expose its communication structure — the honest
+        # evidence for the 'replicated compute' caveat in its docstring
+        from adaptive_sph_tpu.parallel.sharding import make_sharded_step_fn
+
+        sim_g = create_simulation(params, scene, capacity=2048,
+                                  backend="lists")
+        gmesh = ts.Mesh(np.array(topo.devices).reshape(ndev), ("p",))
+        gstep = make_sharded_step_fn(sim_g.params, sim_g.ncfg,
+                                     sim_g.boundary_handler, gmesh)
+
+        def gshaped(a):
+            a = jnp_.asarray(a) if not hasattr(a, "dtype") else a
+            spec = (P_("p", *([None] * (a.ndim - 1)))
+                    if getattr(a, "ndim", 0) >= 1 else P_())
+            return jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                        sharding=NamedSharding(gmesh, spec))
+
+        gst = jax.tree.map(gshaped, sim_g.state)
+        t0 = time.time()
+        comp = jax.jit(lambda st: gstep(st)[0]).lower(gst).compile()
+        ops, ag = collectives(comp)
+        print(f"AOT OK  GSPMD list step [{ndev}-chip]  {time.time()-t0:6.1f}s"
+              f"  collectives={ops} all-gather-bytes={ag}")
         return
 
     # the full production step at bench shapes (includes every hot kernel:
