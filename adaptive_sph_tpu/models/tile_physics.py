@@ -435,17 +435,23 @@ def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
                          aii, src, alive, max_avg_error, residual_type,
                          params: SimulationParams, dt, rho, rho_inv,
                          s1x, s1y, s2x, s2y, Gx, Gy, bt_kind: str,
-                         p0=None) -> SolveResult:
+                         p0=None, vel=None, omega_inv=None):
     """tile_jacobi semantics in ONE Pallas call (ops/pallas_jacobi.py).
 
     The weight cache is held VMEM-resident across every Jacobi sweep instead of
     re-streamed from HBM per matvec, and the inter-sweep elementwise glue
     (self/boundary terms, p update, convergence statistics,
     simulation.rs:1207-1322/1378-1516) runs inside the kernel. Single-chip only
-    (no ppermute ghost refresh is possible mid-kernel)."""
+    (no ppermute ghost refresh is possible mid-kernel).
+
+    vel=(vx, vy): compute the source term in-kernel as
+    src - div(vel) * omega_inv / dt (covers the IISPH/IISPH2/OnlyDivergence
+    source forms; `src` is then the velocity-independent part) and return
+    (SolveResult, full_src). Without vel, `src` is the complete source and the
+    return is just the SolveResult."""
     from ..ops.pallas_jacobi import (
-        S_AVG, S_ITERS, S_MAX, S_NEG, S_NORMAL, T_LANES,
-        M_AX, M_AY, M_P, M_PERR, jacobi_solve,
+        S_AVG, S_ITERS, S_MAX, S_NEG, S_NORMAL, T_LANES, T_LANES_H,
+        M_AX, M_AY, M_P, M_PERR, M_SRC, jacobi_solve,
     )
 
     cols13, singular, mp, w2020 = _resident_table_cols(
@@ -454,7 +460,12 @@ def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
     z = jnp.zeros_like(aii)
     # T lanes: src, waii..alive (cols13[:10]), p0, rho, s2x, s2y
     cols = [src] + cols13[:10] + [p_init] + cols13[10:13]
-    cols += [z] * (T_LANES - len(cols))
+    if vel is not None:
+        omgi = jnp.ones_like(aii) if omega_inv is None else omega_inv
+        cols += [z, vel[0], vel[1], omgi]  # p0div (unused), vx, vy, 1/Omega
+        cols += [z] * (T_LANES_H - len(cols))
+    else:
+        cols += [z] * (T_LANES - len(cols))
     table = jnp.stack(cols, axis=1)
     scal = jnp.stack([dt.astype(jnp.float32), jnp.float32(max_avg_error),
                       jnp.float32(params.rest_density), jnp.float32(0.0)])
@@ -464,8 +475,9 @@ def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
         w2020=w2020, density_type=residual_type == DENSITY_ERROR,
         max_iters=int(params.max_iters), mp=mp,
         write_perr=residual_type == DENSITY_ERROR,
+        src_from_div=vel is not None,
     )
-    return SolveResult(
+    res = SolveResult(
         pressure=m[:, M_P],
         pressure_accel=(m[:, M_AX], m[:, M_AY]),
         density_error=m[:, M_PERR],
@@ -476,6 +488,9 @@ def tile_jacobi_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,
         singular_count=jnp.sum(alive & singular).astype(jnp.int32),
         negative_count=stats[S_NEG].astype(jnp.int32),
     )
+    if vel is not None:
+        return res, m[:, M_SRC]
+    return res
 
 
 def tile_hybrid_resident(wcache, wmeta_blocks, wcnt, tq: int, b_max: int,

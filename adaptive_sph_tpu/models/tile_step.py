@@ -447,13 +447,18 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     else:
         resident = False
 
-    def jacobi(src, tol, rtype, p0=None):
+    def jacobi(src, tol, rtype, p0=None, vel=None, omega_inv=None):
+        """vel=(vx, vy) is only passed on the resident path: the kernel then
+        computes src - div(vel)*omega_inv/dt itself (no streamed source
+        matvec) and returns (SolveResult, full_src)."""
         if resident:
             return tp.tile_jacobi_resident(
                 wcache, wmeta_blocks, wcnt, tcfg.tq, tcfg.b_max,
                 aii_s, src, owned_s, tol, rtype, params, dt, rho_s, rho_inv,
                 s1x, s1y, s2x, s2y, Gx_s, Gy_s, bt.kind, p0=p0,
+                vel=vel, omega_inv=omega_inv,
             )
+        assert vel is None
         return tp.tile_jacobi(
             accel_fn, div_fn, aii_s, src, owned_s, tol, rtype, params, dt, rho_s,
             p0=p0, psum=psum, pmax=pmax,
@@ -497,17 +502,31 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                 0.125, 2.5,
             )
         v2x, v2y = nonpressure(vx_s, vy_s)
-        if method == PressureSolverMethod.IISPH2:
-            src = -(params.rest_density - rho_s) / (params.rest_density * dt * dt) - (
-                div_fn(v2x, v2y) / (dt * omega_s)
-            )
-        else:
-            src = src_full(v2x, v2y)
         if warm:
             p0 = p_prev_s * jnp.sqrt(omega_s) if method == PressureSolverMethod.IISPH2 else p_prev_s
         else:
             p0 = None
-        res = jacobi(src, params.iisph_max_avg_density_error, DENSITY_ERROR, p0=p0)
+        if resident:
+            # velocity-independent source part; the kernel computes
+            # src - div(v2)*omega_inv/dt itself (no streamed source matvec)
+            if method == PressureSolverMethod.IISPH2:
+                src_t = -(params.rest_density - rho_s) / (
+                    params.rest_density * dt * dt)
+                omgi = 1.0 / omega_s
+            else:
+                src_t = src_only_density()
+                omgi = None
+            res, src = jacobi(src_t, params.iisph_max_avg_density_error,
+                              DENSITY_ERROR, p0=p0, vel=(v2x, v2y),
+                              omega_inv=omgi)
+        else:
+            if method == PressureSolverMethod.IISPH2:
+                src = -(params.rest_density - rho_s) / (params.rest_density * dt * dt) - (
+                    div_fn(v2x, v2y) / (dt * omega_s)
+                )
+            else:
+                src = src_full(v2x, v2y)
+            res = jacobi(src, params.iisph_max_avg_density_error, DENSITY_ERROR, p0=p0)
         pressure_s = res.pressure
         ax_sv, ay_sv = res.pressure_accel
         if method == PressureSolverMethod.IISPH2:
@@ -525,9 +544,15 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
     elif method == PressureSolverMethod.OnlyDivergence:
         v2x, v2y = nonpressure(vx_s, vy_s)
-        src = -div_fn(v2x, v2y) / dt
-        res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error, DIVERGENCE_ERROR,
-                     p0=p_prev_s if warm else None)
+        if resident:
+            res, src = jacobi(jnp.zeros_like(rho_s),
+                              params.hybrid_dfsph_max_avg_divergence_error,
+                              DIVERGENCE_ERROR, p0=p_prev_s if warm else None,
+                              vel=(v2x, v2y))
+        else:
+            src = -div_fn(v2x, v2y) / dt
+            res = jacobi(src, params.hybrid_dfsph_max_avg_divergence_error,
+                         DIVERGENCE_ERROR, p0=p_prev_s if warm else None)
         ax_sv, ay_sv = res.pressure_accel
         v2x = v2x + dt * ax_sv
         v2y = v2y + dt * ay_sv

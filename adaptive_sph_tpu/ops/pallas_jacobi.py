@@ -47,14 +47,15 @@ from .pallas_matvec import GRP, META_SHIFT, NBUF, _lane_width
 from .tiles import TILE, default_interpret
 
 # constants-table lanes (read-only during the solve).
-# For jacobi_solve T is (C, 16); hybrid_solve extends it to (C, 20) with the
-# second warm start and the initial velocities (same VMEM: lanes pad to 128).
+# jacobi_solve uses (C, 16), or (C, 20) with src_from_div (velocities + 1/Omega
+# in the extension lanes); hybrid_solve uses (C, 20) with the second warm start
+# and the initial velocities. Lane-padding to 128 makes the widths free.
 T_SRC, T_WAII, T_NSING, T_RINV = 0, 1, 2, 3
 T_GXP, T_GYP, T_S1X, T_S1Y = 4, 5, 6, 7
 T_BDX, T_BDY, T_ALIVE, T_P0 = 8, 9, 10, 11
 T_RHO, T_S2X, T_S2Y = 12, 13, 14
 T_LANES = 16
-T_P0DIV, T_VX0, T_VY0 = 15, 16, 17
+T_P0DIV, T_VX0, T_VY0, T_OMGI = 15, 16, 17, 18
 T_LANES_H = 20
 
 # mutable/output-table lanes ((C, 8) for jacobi_solve, (C, 16) for hybrid)
@@ -398,7 +399,7 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
                    wres, sbuf, out_a, out_d, i8_ref, sem, psem, *,
                    tq: int, r_blocks: int, b_max: int, w2020: bool,
                    density_type: bool, max_iters: int, mp: float,
-                   write_perr: bool):
+                   write_perr: bool, src_from_div: bool):
     i8_ref[:] = jnp.eye(8, dtype=jnp.float32)
     P = _solver_parts(cnt_ref, meta_ref, w_hbm, t_ref, m_ref, wres, sbuf,
                       out_a, out_d, i8_ref, sem, psem, tq=tq,
@@ -409,14 +410,32 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
     P["prologue"]()
     P["init_pressure"](T_P0)
 
-    def clear_perr(qt, _):
+    def init_rest(qt, _):
         rows = pl.ds(qt * tq, tq)
         m_ref[rows, M_PERR:M_PERR + 1] = jnp.zeros((tq, 1), jnp.float32)
+        if src_from_div:
+            m_ref[rows, M_VX:M_VX + 1] = t_ref[rows, T_VX0:T_VX0 + 1]
+            m_ref[rows, M_VY:M_VY + 1] = t_ref[rows, T_VY0:T_VY0 + 1]
         return 0
 
-    jax.lax.fori_loop(0, NT, clear_perr, 0, unroll=False)
+    jax.lax.fori_loop(0, NT, init_rest, 0, unroll=False)
 
-    out = P["solve"](T_SRC, dt, tol, rho0, density_type=density_type,
+    if src_from_div:
+        # src = T_SRC - div(v) * (1/Omega) / dt — covers IISPH
+        # (simulation.rs:1712-1748), IISPH2 (/Omega, :2346) and OnlyDivergence
+        # (T_SRC = 0, :1633-1659) without a separate streamed matvec
+        def src_store(qt, rows, ap, carry):
+            m_ref[rows, M_SRC:M_SRC + 1] = (
+                t_ref[rows, T_SRC:T_SRC + 1]
+                - ap * t_ref[rows, T_OMGI:T_OMGI + 1] / dt)
+            return carry
+
+        P["div_of"]((M_VX, M_VY), src_store)
+        src_lane = 64 + M_SRC
+    else:
+        src_lane = T_SRC
+
+    out = P["solve"](src_lane, dt, tol, rho0, density_type=density_type,
                      max_iters=max_iters, write_perr=write_perr)
     P["write_stats"](stats_ref, out, 0)
     for k in range(5, 8):
@@ -425,12 +444,15 @@ def _jacobi_kernel(cnt_ref, meta_ref, scal_ref, w_hbm, t_ref, m_ref, stats_ref,
 
 def jacobi_solve(weights, meta, cnt, table, scal, tq: int, *, b_max: int,
                  w2020: bool, density_type: bool, max_iters: int, mp: float,
-                 write_perr: bool = True, interpret=None):
+                 write_perr: bool = True, src_from_div: bool = False,
+                 interpret=None):
     """Run a whole pressure solve in one kernel.
 
-    table: (C, 16) f32 constants (lane layout above). scal: (4,) f32
-    [dt, tol, rest_density, 0]. Returns (M (C, 8) f32, stats (8,) f32).
-    """
+    table: (C, 16) f32 constants (lane layout above), or (C, 20) with
+    src_from_div (T_SRC holds the velocity-independent source part; the kernel
+    computes src = T_SRC - div(v0)*T_OMGI/dt itself, absorbing the caller's
+    streamed source matvec). scal: (4,) f32 [dt, tol, rest_density, 0].
+    Returns (M (C, 16) f32, stats (8,) f32)."""
     C = table.shape[0]
     NT = C // tq
     if interpret is None:
@@ -439,7 +461,7 @@ def jacobi_solve(weights, meta, cnt, table, scal, tq: int, *, b_max: int,
     kern = functools.partial(
         _jacobi_kernel, tq=tq, r_blocks=r_blocks, b_max=b_max, w2020=w2020,
         density_type=density_type, max_iters=int(max_iters), mp=float(mp),
-        write_perr=write_perr,
+        write_perr=write_perr, src_from_div=src_from_div,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cnt, meta, scal
@@ -466,7 +488,7 @@ def jacobi_solve(weights, meta, cnt, table, scal, tq: int, *, b_max: int,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((C, M_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((C, M_LANES_H), jnp.float32),
             jax.ShapeDtypeStruct((8,), jnp.float32),
         ),
         interpret=bool(interpret),

@@ -106,6 +106,17 @@ def test_resident_warm_start():
     _diff_resident(params, _dam_scene(), steps=4)
 
 
+def test_resident_iisph2_omega():
+    # in-kernel source with the per-particle 1/Omega factor (IISPH2,
+    # simulation.rs:2346) — covers the T_OMGI lane of src_from_div
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.IISPH2,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    _diff_resident(params, _dam_scene(), steps=3)
+
+
 def test_resident_only_divergence():
     # covers the per-solve jacobi_solve kernel at DIVERGENCE residual type
     params = SimulationParams(
