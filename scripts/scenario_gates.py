@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_scenario(name, t_end, chunk=64, backend=None):
+def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     import jax
 
     from adaptive_sph_tpu.models import scene as scene_mod
@@ -91,7 +91,7 @@ def run_scenario(name, t_end, chunk=64, backend=None):
         raise ValueError(name)
 
     sim = create_simulation(params, scene, counters_enabled=True,
-                            backend=backend or "auto")
+                            backend=backend or "auto", capacity=capacity)
     n0 = sim.num_fluid_particles
     mass0 = float(np.sum(np.asarray(sim.state.mass)[np.asarray(sim.state.alive)]))
     w2 = scene.boundary_width / 2 + 0.1
@@ -179,6 +179,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scenarios", nargs="*", default=["dam", "stress"])
     ap.add_argument("--t-scale", type=float, default=1.0)
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="pre-allocate particle capacity (resampling scenarios "
+                         "otherwise pay a full recompile per capacity growth — "
+                         "~10 min each on the 1-core CPU box)")
     ap.add_argument("--backend", default=None,
                     help="force a backend (e.g. lists for CPU runs; the tile "
                          "engine is interpret-mode off-TPU and too slow there)")
@@ -188,7 +192,7 @@ def main():
     all_ok = True
     for name in (args.scenarios or ["dam", "stress"]):
         out, ok = run_scenario(name, targets[name] * args.t_scale,
-                               backend=args.backend)
+                               backend=args.backend, capacity=args.capacity)
         results[name] = out
         all_ok = all_ok and ok
         print(f"{name}: {'PASS' if ok else 'FAIL'}", flush=True)
