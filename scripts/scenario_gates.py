@@ -28,6 +28,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compilation cache (shared with the suite and bench): adaptive
+# full-pipeline compiles cost ~10 min each on the 1-core CPU box
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/asph_jax_cache")
+
 import numpy as np
 
 
