@@ -74,6 +74,27 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
         scene = scene_mod.load_scene(os.path.join(root, "configs/default-scene.yaml"))
         tol_den = None
         tol_div = params.hybrid_dfsph_max_avg_divergence_error
+    elif name == "motivation":
+        # media/motivation.yaml update_attributes — the thesis timing scene
+        # (BASELINE.md stage table): full adaptivity at a 350:1 radius ratio
+        params = load_params(
+            os.path.join(root, "configs/default-config.yaml"),
+            update_attributes={
+                "merging": True, "sharing": True, "splitting": True,
+                "support_length_estimation": "FromMass",
+                "hybrid_dfsph_factor": 0.0,
+                "pressure_solver_method": "HybridDFSPH",
+                "cfl_factor": 0.4, "max_dt": 0.002, "viscosity": 0.001,
+                "iisph_max_avg_density_error": 0.002,
+                "hybrid_dfsph_max_avg_divergence_error": 0.0004,
+                "init_boundary_handler": "AnalyticOverestimate",
+                "particle_radius_base": 0.7, "particle_radius_fine": 0.002,
+            },
+        )
+        scene = scene_mod.load_scene(
+            os.path.join(root, "configs/media/motivation-scene.yaml"))
+        tol_den = params.hybrid_dfsph_max_avg_density_error
+        tol_div = params.hybrid_dfsph_max_avg_divergence_error
     elif name == "resampling":
         # media/resampling-gravity-free.yaml "After resampling (Hybrid DFSPH
         # c=150)" entry: full merge/share/split churn, gravity-free
@@ -191,7 +212,8 @@ def main():
                     help="force a backend (e.g. lists for CPU runs; the tile "
                          "engine is interpret-mode off-TPU and too slow there)")
     args = ap.parse_args()
-    targets = {"dam": 1.0, "stress": 0.25, "onlydiv": 20.0, "resampling": 0.4}
+    targets = {"dam": 1.0, "stress": 0.25, "onlydiv": 20.0, "resampling": 0.4,
+               "motivation": 5.0}
     results = {}
     all_ok = True
     for name in (args.scenarios or ["dam", "stress"]):
