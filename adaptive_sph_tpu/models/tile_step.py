@@ -324,23 +324,30 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             wdtype=jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32,
         )
         diag["wcache_overflow"] = psum(wcnt[1])
+
+        # the fused builder emits prep channel-major (NT, 8, TQ): channel k
+        # unpacks as a flat (C,) with ZERO relayout
+        def pch(k):
+            return res[:, k, :].reshape(-1)
     elif first_np_at_start:
         res = sweep(tp.prep_op(params), _stack(rho_s, vx_s, vy_s), pscale)
+
+        def pch(k):
+            return res[:, k]
     else:
         res = sweep(tp.aii_sums_op(), _stack(rho_s), pscale)
 
+        def pch(k):
+            return res[:, k] if k < res.shape[1] else jnp.zeros_like(rho_s)
+
     # a_ii sums as channel-split 1-D slices (s1 = sum m_j gradW_ij, s2 = the
     # rho_j-weighted variant, *sq their squared-norm sums)
-    s1x, s1y, s1sq = res[:, 0], res[:, 1], res[:, 2]
-    s2x, s2y, s2sq = res[:, 3], res[:, 4], res[:, 5]
+    s1x, s1y, s1sq = pch(0), pch(1), pch(2)
+    s2x, s2y, s2sq = pch(3), pch(4), pch(5)
     aii_s = gp.assemble_aii_1d(s1x, s1y, s1sq, s2x, s2y, s2sq, sf_like,
                                Gx_s, Gy_s, bt.kind, params)
     if first_np_at_start:
-        if res.shape[1] >= 8:
-            v0x, v0y = res[:, 6], res[:, 7]
-        else:
-            v0x = v0y = jnp.zeros_like(rho_s)
-        ax0, ay0 = finish_nonpressure(v0x, v0y)
+        ax0, ay0 = finish_nonpressure(pch(6), pch(7))
         first_np_vel = (vx_s + dt * ax0, vy_s + dt * ay0)
     else:
         first_np_vel = None

@@ -398,7 +398,7 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
         q_vx = qd[1:2, :]
         q_vy = qd[2:3, :]
 
-        acc0 = jnp.zeros((1, 8 * TQ), jnp.float32)
+        acc0 = jnp.zeros((8, TQ), jnp.float32)
 
         def window_work(a, lo_k, hi_k, carry):
             slot, attempted, acc = carry
@@ -471,11 +471,19 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                 # visc pair term = coef * m_j * gmag * d = coef * w
                 vx_t = coef * wx
                 vy_t = coef * wy
-            terms = jnp.concatenate(
-                [wx, wy, t2, wx * inv_rho, wy * inv_rho, t2 * inv_rho, vx_t, vy_t],
-                axis=1,
-            )  # (64, 8*TQ)
-            acc = acc + jnp.sum(terms, axis=0, keepdims=True)
+            # channels on SUBLANES: acc (8, TQ), row k = channel k — the caller
+            # then unpacks each channel as out[:, k, :].reshape(C) with ZERO
+            # relayout (the old (1, 8*TQ) lane-major form cost a swapaxes
+            # relayout of the whole prep table every step)
+            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TQ), 0)
+            contrib = jnp.zeros((8, TQ), jnp.float32)
+            for k, term in enumerate(
+                [wx, wy, t2, wx * inv_rho, wy * inv_rho, t2 * inv_rho,
+                 vx_t, vy_t]
+            ):
+                contrib = jnp.where(
+                    row8 == k, jnp.sum(term, axis=0, keepdims=True), contrib)
+            acc = acc + contrib
 
             return (slot + emit.astype(jnp.int32),
                     attempted + nonempty.astype(jnp.int32), acc)
@@ -587,7 +595,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), wdtype),
             jax.ShapeDtypeStruct((b_max,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
-            jax.ShapeDtypeStruct((NT, 1, 8 * TQ), jnp.float32),
+            jax.ShapeDtypeStruct((NT, 8, TQ), jnp.float32),
         ),
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
@@ -595,5 +603,6 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 16384 else None),
         ),
     )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
-    prep_cols = jnp.swapaxes(prep.reshape(NT, 8, TQ), 1, 2).reshape(cfg.capacity, 8)
-    return w, meta, cnt, prep_cols
+    # (NT, 8, TQ) channel-sublane prep: channel k unpacks as
+    # prep[:, k, :].reshape(C) with zero relayout
+    return w, meta, cnt, prep
