@@ -33,11 +33,12 @@ REPLICAS = int(os.environ.get("ASPH_BENCH_REPLICAS", "1"))
 # warm-start-pressure extension; PERFORMANCE.md records both numbers.
 COLD = os.environ.get("ASPH_BENCH_COLD", "0") == "1"
 # ASPH_BENCH_RESIDENT: whole-solve resident Jacobi kernels (same math and
-# tolerance contract, ops/pallas_jacobi.py). "auto" (default) benches the
-# resident path only after an on-device 3-step cross-check against the
-# streamed path (max position delta < 1e-4), falling back to streamed on any
-# mismatch or kernel failure; "1"/"0" force one path with no check.
-RESIDENT_MODE = os.environ.get("ASPH_BENCH_RESIDENT", "auto")
+# tolerance contract, ops/pallas_jacobi.py). MEASURED SLOWER on v5e hardware
+# (2026-08-18): resident 0.71 ms/Jacobi-iter vs streamed 0.225, hybrid
+# megakernel 6.08 ms/step vs ~1.3 ms of streamed solver work -> bench 9.0 vs
+# 4.3 ms/step (PERFORMANCE.md). Default "0" = streamed; "auto" cross-checks
+# numerics on device then benches resident; "1" forces resident.
+RESIDENT_MODE = os.environ.get("ASPH_BENCH_RESIDENT", "0")
 BF16 = os.environ.get("ASPH_BENCH_BF16", "0") == "1"
 
 

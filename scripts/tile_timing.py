@@ -137,8 +137,11 @@ def main():
     dt1 = jnp.float32(1e-3)
 
     def resident_solve(p0, w, m, c):
+        # src1 + 0*p0: threads the scan carry through a KERNEL input — without
+        # it the whole Pallas call is loop-invariant and XLA hoists it out of
+        # the timing scan (measures as ~0)
         res = tp.tile_jacobi_resident(
-            w, m, c, tcfg.tq, tcfg.b_max, aii1, src1, alive1,
+            w, m, c, tcfg.tq, tcfg.b_max, aii1, src1 + 0.0 * p0, alive1,
             0.0005, tp.DENSITY_ERROR, params, dt1, rho1, rinv1,
             zc, zc, None, None, zc, zc, "none",
         )
@@ -154,6 +157,8 @@ def main():
     print(f"resident solve:           {t*1000:7.3f} ms  (iters={it_r})")
 
     def streamed_solve(p0, w, m, c):
+        src_dep = src1 + 0.0 * p0  # same hoisting guard as resident_solve
+
         def accel_fn(p):
             u = p * rinv1 * rinv1
             mvx, mvy = weight_matvec(w, m, c, u[:, None], tcfg.tq, k_out=2)
@@ -163,7 +168,7 @@ def main():
             s = weight_matvec(w, m, c, (qx, qy), tcfg.tq, k_out=1)
             return (s - (qx * zc + qy * zc)) * rinv1
 
-        res = tp.tile_jacobi(accel_fn, div_fn, aii1, src1, alive1, 0.0005,
+        res = tp.tile_jacobi(accel_fn, div_fn, aii1, src_dep, alive1, 0.0005,
                              tp.DENSITY_ERROR, params, dt1, rho1)
         return p0 + 0.0 * res.pressure
 
