@@ -39,7 +39,13 @@ COLD = os.environ.get("ASPH_BENCH_COLD", "0") == "1"
 # 4.3 ms/step (PERFORMANCE.md). Default "0" = streamed; "auto" cross-checks
 # numerics on device then benches resident; "1" forces resident.
 RESIDENT_MODE = os.environ.get("ASPH_BENCH_RESIDENT", "0")
-BF16 = os.environ.get("ASPH_BENCH_BF16", "0") == "1"
+# bf16 weight-block storage (default ON for the bench): halves the per-
+# iteration HBM stream of the cached PPE operator. The convergence CONTRACT is
+# unchanged — residuals/statistics accumulate in f32 and every solve still
+# iterates to the configured avg-error tolerance (same 2+2 iteration counts
+# measured); parity gate runs (scenario_gates/PARITY_RUNS) keep f32 blocks.
+# Measured: 4.02 -> 3.43 ms/step at tq=128 (v5e, 2026-08-18).
+BF16 = os.environ.get("ASPH_BENCH_BF16", "1") == "1"
 
 
 def build_sim(replicas: int = None, resident: bool = None):
@@ -175,6 +181,7 @@ def main():
                     f" (x{REPLICAS} block tiling, n={n}"
                     + (", cold-start solves" if COLD else "")
                     + (", resident solver" if resident else "")
+                    + (", bf16 weight blocks" if BF16 else "")
                     + ")"
                 ),
                 "value": float(updates_per_sec),
