@@ -177,8 +177,12 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
                 store.extend(np.atleast_1d(np.asarray(dlist[k])).tolist())
         dts.extend(np.atleast_1d(np.asarray(dlist["dt"])).tolist())
         if steps % 512 < len(np.atleast_1d(dlist["dt"])):
+            al = np.asarray(sim.state.alive)
+            p = np.asarray(sim.state.position)[al]
+            exc = max(float(np.max(np.abs(p[:, 0]) - w2, initial=0.0)),
+                      float(np.max(np.abs(p[:, 1]) - h2, initial=0.0)))
             print(f"  [{name}] t={float(sim.time):.3f}/{t_end} steps={steps} "
-                  f"n={sim.num_fluid_particles} "
+                  f"n={sim.num_fluid_particles} excess={exc:.4f} "
                   f"wall={time.perf_counter()-t0:.0f}s",
                   file=sys.stderr, flush=True)
 
@@ -187,6 +191,8 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     pos = np.asarray(sim.state.position)[alive]
     mass1 = float(np.sum(np.asarray(sim.state.mass)[alive]))
     contained = bool((np.abs(pos[:, 0]) < w2).all() and (np.abs(pos[:, 1]) < h2).all())
+    excess = float(max(np.max(np.abs(pos[:, 0]) - w2, initial=0.0),
+                       np.max(np.abs(pos[:, 1]) - h2, initial=0.0)))
     out = {
         "scenario": name,
         "t_end": float(sim.time),
@@ -195,6 +201,7 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
         "n_final": sim.num_fluid_particles,
         "mass_drift": abs(mass1 - mass0) / mass0,
         "contained": contained,
+        "max_boundary_excess": excess,
         "max_avg_density_error_rel": (max(den_errs) / params.rest_density) if den_errs else None,
         "tol_density": tol_den,
         "density_tol_violations": viol["den"],
