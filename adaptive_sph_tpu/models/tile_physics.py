@@ -313,6 +313,16 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     aii_safe = jnp.where(singular, 1.0, aii)
     w = jnp.float32(params.jacobi_omega)
 
+    # loop-invariant statistics hoisted out of the sweep: the singular count
+    # never changes, and negative = (alive & ~singular) - normal, so the loop
+    # body carries only the TWO reductions its exit test needs (normal, avg);
+    # max-error is recomputed after the loop from the carried error vector
+    # (density solves) or never observed (divergence solves report avg only,
+    # matching the reference's div diagnostics).
+    nonsing_mask = alive & (~singular)
+    n_sing = psum(jnp.sum(alive & singular))
+    n_nonsing = psum(jnp.sum(nonsing_mask))
+
     def one_sweep(p):
         a_p = div_fn(*accel_fn(p))
         p_next = p + w * (src - a_p) / aii_safe
@@ -323,19 +333,17 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
             predicted = dt * (src - a_p)
         clamped = p_next <= 0.0
         p_next = jnp.where(clamped, 0.0, p_next)
-        is_normal = alive & (~singular) & (~clamped)
+        is_normal = nonsing_mask & (~clamped)
         n_normal = psum(jnp.sum(is_normal))
         avg = psum(jnp.sum(jnp.where(is_normal, predicted, 0.0))) / jnp.maximum(
             n_normal, 1
         ).astype(jnp.float32)
         avg = jnp.where(n_normal > 0, avg, jnp.nan)
-        mx = pmax(jnp.max(jnp.where(is_normal, jnp.abs(predicted), 0.0)))
         return p_next, predicted, dict(
             normal=n_normal,
-            singular=psum(jnp.sum(alive & singular)),
-            negative=psum(jnp.sum(alive & (~singular) & clamped)),
+            singular=n_sing,
+            negative=n_nonsing - n_normal,
             avg=avg,
-            max=mx,
         )
 
     def converged(st):
@@ -355,23 +363,31 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
             pressure=p_next,
             iters=jnp.where(brk, c["iters"], c["iters"] + 1),
             done=brk,
-            avg=st["avg"], max=st["max"], normal=st["normal"],
-            singular=st["singular"], negative=st["negative"],
+            avg=st["avg"], normal=st["normal"],
             density_error=perr if residual_type == DENSITY_ERROR else c["density_error"],
         )
 
     if p0 is None:
         p_init = jnp.zeros(total, jnp.float32)
     else:
-        p_init = jnp.where(alive & (~singular), jnp.maximum(p0, 0.0), 0.0)
+        p_init = jnp.where(nonsing_mask, jnp.maximum(p0, 0.0), 0.0)
     init = dict(
         pressure=p_init,
         iters=jnp.int32(0), done=jnp.bool_(False),
-        avg=jnp.float32(0.0), max=jnp.float32(0.0),
-        normal=jnp.int32(0), singular=jnp.int32(0), negative=jnp.int32(0),
+        avg=jnp.float32(0.0), normal=jnp.int32(0),
         density_error=jnp.zeros(total, jnp.float32),
     )
     out = jax.lax.while_loop(cond, body, init)
+    # max error recomputed from the carried error vector: the final sweep's
+    # normal set is alive & ~singular & (p > 0) (p == 0 iff that sweep clamped).
+    # Divergence solves never observe max_error (diag reports avg only, like
+    # the reference's div diagnostics) — it returns 0 there.
+    if residual_type == DENSITY_ERROR:
+        is_normal_f = nonsing_mask & (out["pressure"] > 0.0)
+        mx = pmax(jnp.max(jnp.where(is_normal_f,
+                                    jnp.abs(out["density_error"]), 0.0)))
+    else:
+        mx = jnp.float32(0.0)
     # pressure_accel stays CHANNEL-SPLIT (ax, ay) so the caller's integration
     # chains run on dense 1-D lanes too (stacking here would relayout to the
     # 2/128-lane (C, 2) tiling this path exists to avoid)
@@ -382,10 +398,10 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         density_error=out["density_error"],
         iterations=out["iters"],
         avg_error=out["avg"],
-        max_error=out["max"],
+        max_error=mx,
         normal_count=out["normal"],
-        singular_count=out["singular"],
-        negative_count=out["negative"],
+        singular_count=n_sing,
+        negative_count=n_nonsing - out["normal"],
     )
 
 
