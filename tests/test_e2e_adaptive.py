@@ -66,6 +66,8 @@ PARAMS = SimulationParams(
 )
 
 
+pytestmark = pytest.mark.slow  # one ~108s shared sim fixture feeds every test here
+
 @pytest.fixture(scope="module")
 def sim_run():
     sim = create_simulation(PARAMS, SCENE, capacity=2048, split_patterns=tiny_patterns())

@@ -59,6 +59,7 @@ def run_steps(params, n_steps, scene=SCENE):
     return sim, diags
 
 
+@pytest.mark.slow
 def test_iisph_dam_break_runs_and_converges():
     sim, diags = run_steps(make_params(), 12)
     alive = np.asarray(sim.state.alive)
@@ -89,6 +90,7 @@ def test_iisph_dam_break_runs_and_converges():
     assert abs(m.sum() - 0.05 * 0.05 * 0.93 * n) < 1e-5
 
 
+@pytest.mark.slow
 def test_hybrid_dfsph_dam_break():
     params = make_params(
         pressure_solver_method=PressureSolverMethod.HybridDFSPH,
@@ -105,6 +107,7 @@ def test_hybrid_dfsph_dam_break():
     assert rho.max() < 1.3
 
 
+@pytest.mark.slow
 def test_only_divergence_runs():
     params = make_params(pressure_solver_method=PressureSolverMethod.OnlyDivergence)
     sim, diags = run_steps(params, 8)
@@ -113,6 +116,7 @@ def test_only_divergence_runs():
     assert np.all(np.isfinite(pos))
 
 
+@pytest.mark.slow
 def test_level_estimation_uniform_surface_detection():
     params = make_params(
         level_estimation_method=LevelEstimationMethod.EmptyAngle,

@@ -79,6 +79,7 @@ def test_pair_apply_matches_bruteforce(seed, n, h_range, scale):
     np.testing.assert_allclose(got_v[aliven], want_v[aliven], rtol=3e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pair_apply_max_matches_bruteforce():
     C = 512
     pos, h, alive = make_case(7, 250, C, (0.02, 0.5))

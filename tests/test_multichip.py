@@ -231,6 +231,7 @@ _ADAPT_PARAMS = SimulationParams(
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+@pytest.mark.slow
 def test_slab_sharded_level_estimation_matches_single_device():
     """EmptyAngle surface detection + wavefront + smoothing over the slab mesh
     (ghost refreshes + psum'd fixpoint) is EXACTLY the single-device field."""
@@ -269,6 +270,7 @@ def test_slab_sharded_level_estimation_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_slab_sharded_adaptive_resampling(ndev):
     """Adaptivity (share/merge/split) on the slab-sharded production path.

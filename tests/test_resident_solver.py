@@ -3,6 +3,9 @@ per-matvec path — same tile backend, same sorted layout, so states compare
 row-for-row. Math is identical; only f32 association order differs."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # opt-in feature; heaviest file in the suite
 
 from adaptive_sph_tpu.models import scene as scene_mod
 from adaptive_sph_tpu.runner import create_simulation

@@ -218,6 +218,7 @@ def test_backend_differential_cross_level():
     _diff_backends(params, _dam_scene(spacing2=0.05), steps=3)
 
 
+@pytest.mark.slow
 def test_backend_differential_levels_adaptive():
     # adaptive sizes with level estimation (EmptyAngle), no resampling
     params = SimulationParams(
@@ -241,6 +242,7 @@ def test_backend_differential_warm_start():
     _diff_backends(params, _dam_scene(), steps=5, capacity=1024)
 
 
+@pytest.mark.slow
 def test_warm_start_converges_with_fewer_iterations():
     # same scene, warm vs cold: tolerance respected both ways and the warm run
     # needs no more total iterations than the cold one after a few steps
@@ -343,6 +345,7 @@ def test_tile_post_advection_centerdiff_matches_lists():
     _diff_vs_lists(params, _dam_scene(spacing2=0.08), steps=3, check_levels=True)
 
 
+@pytest.mark.slow
 def test_tile_neighborhood_constraint_exact_vs_bruteforce():
     """constrain_neighborhood_count on the tile engine: the bisection-selected
     k-th-largest fringe equals a brute-force all-neighbor sort (the reference's
@@ -404,6 +407,7 @@ def test_tile_neighborhood_constraint_exact_vs_bruteforce():
     np.testing.assert_allclose(got_h, want_h, rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_weight_cache_bf16_converges():
     # opt-in bf16 weight-block storage: every solve still reaches its avg-error
     # tolerance (against the rounded operator) and the trajectory stays close
