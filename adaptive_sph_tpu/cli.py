@@ -49,6 +49,9 @@ def main(argv=None):
     p_gen = sub.add_parser("generate-split-patterns", help="Precompute split patterns")
     p_gen.add_argument("output_yaml", nargs="?", default="./split-patterns.yaml")
     p_gen.add_argument("--max-children", type=int, default=60)
+    p_gen.add_argument("--svg-dir", default=None,
+                       help="also write one debug SVG per pattern "
+                            "(splitting.rs:550-640 counterpart)")
 
     args = parser.parse_args(argv)
 
@@ -67,6 +70,16 @@ def main(argv=None):
         patterns = generate_split_patterns(args.max_children)
         save_patterns(patterns, args.output_yaml)
         print(f"Wrote {len(patterns)} patterns to {args.output_yaml}")
+        if args.svg_dir:
+            import os as _os
+
+            from .utils.split_patterns import export_pattern_svg
+
+            _os.makedirs(args.svg_dir, exist_ok=True)
+            for p in patterns:
+                n = len(p["pos_s"])
+                export_pattern_svg(p, _os.path.join(args.svg_dir, f"split-{n}.svg"))
+            print(f"Wrote {len(patterns)} SVGs to {args.svg_dir}")
         return 0
     return 1
 

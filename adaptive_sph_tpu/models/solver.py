@@ -76,13 +76,16 @@ def iisph_pressure_iterations(
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
     aii_safe = jnp.where(singular, 1.0, aii)
     w = jnp.float32(params.jacobi_omega)
+    beta = float(params.jacobi_momentum)  # heavy-ball acceleration (0 = reference)
 
-    def one_sweep(pressure):
+    def one_sweep(pressure, p_prev):
         accel = physics.pressure_accel(nb, cache, bst, pressure, mass, density, params)
         a_p = physics.divergence(nb, cache, bst, accel, zero_q, mass, density, params)
         s = ppe_source_term
 
         p_next = pressure + w * (s - a_p) / aii_safe
+        if beta > 0.0:
+            p_next = p_next + jnp.float32(beta) * (pressure - p_prev)
         p_next = jnp.where(singular, 0.0, p_next)
 
         if residual_type == DENSITY_ERROR:
@@ -122,9 +125,9 @@ def iisph_pressure_iterations(
 
     def body(carry):
         p, iters = carry["pressure"], carry["iters"]
-        p_next, _, stats, perr = one_sweep(p)
+        p_next, _, stats, perr = one_sweep(p, carry.get("p_prev", p))
         brk = (converged(stats) & (iters > 1)) | (iters == params.max_iters)
-        return dict(
+        out = dict(
             pressure=p_next,
             iters=jnp.where(brk, iters, iters + 1),
             done=brk,
@@ -135,6 +138,9 @@ def iisph_pressure_iterations(
             negative=stats["negative"],
             density_error=perr,
         )
+        if beta > 0.0:
+            out["p_prev"] = p
+        return out
 
     if p0 is None:
         p_init = jnp.zeros(C, jnp.float32)
@@ -151,6 +157,8 @@ def iisph_pressure_iterations(
         negative=jnp.int32(0),
         density_error=jnp.zeros(C, jnp.float32),
     )
+    if beta > 0.0:
+        init["p_prev"] = p_init
     out = jax.lax.while_loop(cond, body, init)
 
     # final pressure-accel recompute with the converged pressure (simulation.rs:1499-1509)

@@ -312,6 +312,7 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     singular = jnp.abs(aii) < SINGULAR_AII_EPS
     aii_safe = jnp.where(singular, 1.0, aii)
     w = jnp.float32(params.jacobi_omega)
+    beta = float(params.jacobi_momentum)  # heavy-ball acceleration (0 = reference)
 
     # loop-invariant statistics hoisted out of the sweep: the singular count
     # never changes, and negative = (alive & ~singular) - normal, so the loop
@@ -323,9 +324,14 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     n_sing = psum(jnp.sum(alive & singular))
     n_nonsing = psum(jnp.sum(nonsing_mask))
 
-    def one_sweep(p):
+    def one_sweep(p, p_prev):
         a_p = div_fn(*accel_fn(p))
         p_next = p + w * (src - a_p) / aii_safe
+        if beta > 0.0:
+            # projected heavy-ball: momentum applied pre-projection; the exit
+            # test below still measures the reference's predicted error of the
+            # entering pressure, so the convergence CONTRACT is unchanged
+            p_next = p_next + jnp.float32(beta) * (p - p_prev)
         p_next = jnp.where(singular, 0.0, p_next)
         if residual_type == DENSITY_ERROR:
             predicted = rho * dt * dt * (src - a_p)
@@ -357,15 +363,18 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         return ~c["done"]
 
     def body(c):
-        p_next, perr, st = one_sweep(c["pressure"])
+        p_next, perr, st = one_sweep(c["pressure"], c.get("p_prev", c["pressure"]))
         brk = (converged(st) & (c["iters"] > 1)) | (c["iters"] == params.max_iters)
-        return dict(
+        out = dict(
             pressure=p_next,
             iters=jnp.where(brk, c["iters"], c["iters"] + 1),
             done=brk,
             avg=st["avg"], normal=st["normal"],
             density_error=perr if residual_type == DENSITY_ERROR else c["density_error"],
         )
+        if beta > 0.0:
+            out["p_prev"] = c["pressure"]
+        return out
 
     if p0 is None:
         p_init = jnp.zeros(total, jnp.float32)
@@ -377,6 +386,8 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         avg=jnp.float32(0.0), normal=jnp.int32(0),
         density_error=jnp.zeros(total, jnp.float32),
     )
+    if beta > 0.0:
+        init["p_prev"] = p_init
     out = jax.lax.while_loop(cond, body, init)
     # max error recomputed from the carried error vector: the final sweep's
     # normal set is alive & ~singular & (p > 0) (p == 0 iff that sweep clamped).

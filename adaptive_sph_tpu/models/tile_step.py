@@ -34,7 +34,7 @@ from . import boundary as bnd
 from . import grid_physics as gp
 from . import tile_physics as tp
 from .grid_step import max_scale, physics_scale
-from .solver import DENSITY_ERROR, DIVERGENCE_ERROR
+from .solver import DENSITY_ERROR, DIVERGENCE_ERROR, SINGULAR_AII_EPS
 from .state import FluidState
 
 
@@ -318,10 +318,19 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         else:
             vm = "none"
         dyn3 = _stack(rho_s, vx_s, vy_s)
+        # the rho_j-weighted s2 sums only feed the Winchenbach2020
+        # discretization (assemble_aii_1d / div_fn) and the resident kernel's
+        # table — skip their three per-window reduces otherwise
+        need_s2 = (
+            params.operator_discretization == OperatorDiscretization.Winchenbach2020
+            or params.resident_solver
+            or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1"
+        )
         wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
             tcfg, bins, st, dyn3, pscale, tcfg.b_max, vm, params.viscosity,
             wmeta=wm,
             wdtype=jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32,
+            want_s2=need_s2,
         )
         diag["wcache_overflow"] = psum(wcnt[1])
 
@@ -445,6 +454,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
         resident = (
             halo is None
+            and params.jacobi_momentum == 0.0  # not in the resident kernel
             and (params.resident_solver
                  or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1")
             and resident_supported(
@@ -613,6 +623,17 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         diag["density_avg_error"] = res_den.avg_error
         diag["density_max_error"] = res_den.max_error
         diag["solver_stats"] = (res_den.normal_count, res_den.singular_count, res_den.negative_count)
+        # UNCLAMPED residual statistics over every alive non-singular particle
+        # (the reference's avg counts only "normal" = unclamped-positive rows,
+        # simulation.rs:1453-1469, which is vacuous while a hydrostatic scene
+        # clamps every pressure to zero — these make the density contract
+        # observable in that regime too; see scripts/scenario_gates.py)
+        _ns = owned_s & alive_s & (jnp.abs(aii_s) >= SINGULAR_AII_EPS)
+        _nn = jnp.maximum(psum(jnp.sum(_ns)), 1).astype(jnp.float32)
+        diag["density_avg_error_all"] = psum(
+            jnp.sum(jnp.where(_ns, res_den.density_error, 0.0))) / _nn
+        diag["density_max_error_all"] = pmax(
+            jnp.max(jnp.where(_ns, jnp.abs(res_den.density_error), 0.0)))
         ax_sv, ay_sv = res_den.pressure_accel
         p2x = p2x + dt * v2x + dt * dt * ax_sv
         p2y = p2y + dt * v2y + dt * dt * ay_sv

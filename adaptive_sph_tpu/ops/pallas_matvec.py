@@ -371,7 +371,8 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
 def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                        w_hbm, meta_ref, cnt_ref, prep_ref, scratch, sem, *,
                        cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
-                       viscosity: float, rest_eps: float = 1e-30):
+                       viscosity: float, want_s2: bool = True,
+                       rest_eps: float = 1e-30):
     """Fused per-step pass: weight-cache build + the prep sums in ONE window walk.
 
     The weight block entries w = m_j * grad W_ij ARE the integrand of the a_ii
@@ -447,10 +448,7 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
             inv_m = 1.0 / jnp.maximum(cm, rest_eps)
             inv_rho = 1.0 / jnp.maximum(c_rho, rest_eps)
             t2 = (wx * wx + wy * wy) * inv_m
-            if visc_mode == "none":
-                vx_t = jnp.zeros_like(wx)
-                vy_t = jnp.zeros_like(wy)
-            else:
+            if visc_mode != "none":
                 dvx = q_vx - c_vx
                 dvy = q_vy - c_vy
                 dot = dx * dvx + dy * dvy
@@ -474,13 +472,20 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
             # channels on SUBLANES: acc (8, TQ), row k = channel k — the caller
             # then unpacks each channel as out[:, k, :].reshape(C) with ZERO
             # relayout (the old (1, 8*TQ) lane-major form cost a swapaxes
-            # relayout of the whole prep table every step)
+            # relayout of the whole prep table every step).
+            # Channels whose consumer is trace-time absent are SKIPPED outright
+            # (their acc rows stay zero): the s2 (rho_j-weighted) sums only
+            # feed the Winchenbach2020 discretization's aii/divergence, and the
+            # viscosity pair terms only exist for a viscous first kick.
+            terms = [(0, wx), (1, wy), (2, t2)]
+            if want_s2:
+                terms += [(3, wx * inv_rho), (4, wy * inv_rho),
+                          (5, t2 * inv_rho)]
+            if visc_mode != "none":
+                terms += [(6, vx_t), (7, vy_t)]
             row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TQ), 0)
             contrib = jnp.zeros((8, TQ), jnp.float32)
-            for k, term in enumerate(
-                [wx, wy, t2, wx * inv_rho, wy * inv_rho, t2 * inv_rho,
-                 vx_t, vy_t]
-            ):
+            for k, term in terms:
                 contrib = jnp.where(
                     row8 == k, jnp.sum(term, axis=0, keepdims=True), contrib)
             acc = acc + contrib
@@ -545,13 +550,15 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
 def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
                             dyn_sorted, scale: float, b_max: int, visc_mode: str,
                             viscosity: float, wmeta=None, interpret=None,
-                            wdtype=jnp.float32):
+                            wdtype=jnp.float32, want_s2=True):
     """Fused builder: returns (weights, (qt, anchor), cnt, prep (C, 8)).
 
     dyn_sorted: (C, 3) sorted [rho, velx, vely]. prep columns match
     tile_physics.prep_op; visc_mode in {"none", "wcsph", "laplace"}.
     wdtype: weight-block storage dtype (params.weight_cache_bf16 passes
     bfloat16 — halves the per-iteration HBM stream; the prep sums stay f32).
+    want_s2=False skips the rho_j-weighted sum channels (rows 3-5 return 0) —
+    they only feed the Winchenbach2020 discretization.
     """
     assert b_max % GRP == 0
     assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
@@ -566,7 +573,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
 
     kern = functools.partial(
         _build_prep_kernel, cfg=cfg, scale=float(scale), b_max=b_max,
-        visc_mode=visc_mode, viscosity=float(viscosity),
+        visc_mode=visc_mode, viscosity=float(viscosity), want_s2=bool(want_s2),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -185,6 +185,16 @@ class SimulationParams:
     # avg-error tolerance with the >=2-iteration rule — but typically several times
     # fewer Jacobi iterations. Off by default for bitwise reference parity.
     warm_start_pressure: bool = False
+    # heavy-ball momentum on the relaxed-Jacobi PPE sweeps (second-order
+    # Richardson): p <- clamp(p + omega*(s - Ap)/aii + momentum*(p - p_prev)).
+    # Same operator, same source terms, same exit test (>=2 iterations,
+    # |avg predicted error| < tol, simulation.rs:1453-1469) and the same
+    # negative-pressure projection — only the relaxation SCHEDULE differs, so
+    # every converged solve still satisfies the reference's tolerance contract
+    # against the same PPE. Cuts the Jacobi iteration count several-fold on
+    # stiff solves (the reference's plain omega=0.5 Jacobi is the
+    # momentum=0 special case). 0.0 = reference schedule (default).
+    jacobi_momentum: float = 0.0
     # store the per-solve PPE weight-cache blocks (ops/pallas_matvec.py) as
     # bfloat16 instead of f32: halves the bytes every Jacobi matvec streams
     # from HBM. The pair weights round to ~0.4% relative, which perturbs the

@@ -239,3 +239,48 @@ def to_padded_table(patterns: list):
 def load_default_patterns(path: str = None):
     path = path or os.environ.get("ASPH_SPLIT_PATTERNS", DEFAULT_PATTERN_PATH)
     return to_padded_table(load_patterns_yaml(path))
+
+
+def export_pattern_svg(pattern: dict, path: str, size: int = 512):
+    """Debug SVG of one split pattern (splitting.rs:550-640 counterpart):
+    the parent particle (radius-1 outline, its kernel support dashed) and the
+    filled child circles at their physical radii."""
+    import math
+
+    pos = pattern["pos_s"]
+    n = len(pos)
+    child_r = float(kernels.sphere_volume_to_radius(
+        kernels.radius_to_sphere_volume(1.0, 2) / n, 2))
+    h = float(kernels.smoothing_length_from_mass(
+        float(kernels.radius_to_sphere_volume(1.0, 2)) / 1.0, 1.0, 2))
+    support = 2.0 * h  # parent kernel support radius
+    half = support * 1.1
+    s = size / (2 * half)
+
+    def cx(v):
+        return (v + half) * s
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" height="{size}" '
+        f'viewBox="0 0 {size} {size}">',
+        f'<rect width="{size}" height="{size}" fill="white"/>',
+        f'<circle cx="{cx(0):.2f}" cy="{cx(0):.2f}" r="{support*s:.2f}" '
+        'fill="none" stroke="#999" stroke-dasharray="6,4" stroke-width="1.5"/>',
+        f'<circle cx="{cx(0):.2f}" cy="{cx(0):.2f}" r="{1.0*s:.2f}" '
+        'fill="none" stroke="#333" stroke-width="2"/>',
+    ]
+    for k, (x, y) in enumerate(pos):
+        hue = int(360 * k / max(n, 1))
+        parts.append(
+            f'<circle cx="{cx(float(x)):.2f}" cy="{cx(float(y)):.2f}" '
+            f'r="{child_r*s:.2f}" fill="hsl({hue},70%,60%)" fill-opacity="0.75" '
+            'stroke="#222" stroke-width="1"/>'
+        )
+    dist = [math.hypot(float(x), float(y)) for x, y in pos]
+    parts.append(
+        f'<text x="8" y="{size-10}" font-family="monospace" font-size="14">'
+        f'n={n} r_child={child_r:.3f} max|x|={max(dist):.3f}</text>'
+    )
+    parts.append("</svg>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))

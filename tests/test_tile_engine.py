@@ -272,6 +272,51 @@ def test_warm_start_converges_with_fewer_iterations():
     assert totals[True] <= totals[False]
 
 
+def test_backend_differential_momentum():
+    # heavy-ball Jacobi extension (params.jacobi_momentum): tiles and grid must
+    # agree with each other when it is on, and each solve must still satisfy
+    # the configured avg-error tolerance (the exit test is unchanged)
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=120,
+        jacobi_momentum=0.7,
+    )
+    _diff_backends(params, _dam_scene(), steps=5, capacity=1024)
+
+
+@pytest.mark.slow
+def test_momentum_converges_within_tolerance_fewer_iterations():
+    # momentum=0.7 vs the reference schedule on the same dam scene: every solve
+    # exits within tolerance both ways (contract unchanged) and the accelerated
+    # run needs no more total Jacobi iterations
+    base = SimulationParams(
+        particle_sizes=ParticleSizes.Uniform,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=200,
+    )
+    totals = {}
+    for beta in (0.0, 0.7):
+        sim = create_simulation(
+            base.replace(jacobi_momentum=beta), _dam_scene(), capacity=1024,
+            backend="tiles",
+        )
+        tol = sim.params.hybrid_dfsph_max_avg_density_error * sim.params.rest_density
+        tol_div = sim.params.hybrid_dfsph_max_avg_divergence_error
+        iters = 0
+        for _ in range(8):
+            d = sim.step()
+            iters += int(d["div_iterations"]) + int(d["density_iterations"])
+            err = float(d["density_avg_error"])
+            assert not err == err or abs(err) < tol
+            derr = float(d["div_avg_error"]) * float(d["dt"])
+            assert not derr == derr or abs(derr) < tol_div
+        totals[beta] = iters
+    assert totals[0.7] <= totals[0.0]
+
+
 def _diff_vs_lists(params, scene, steps, capacity=None, check_levels=False):
     """Tile backend vs the neighbor-list reference backend, matched by position."""
     from scipy.spatial import cKDTree
