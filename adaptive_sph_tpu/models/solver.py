@@ -78,14 +78,18 @@ def iisph_pressure_iterations(
     w = jnp.float32(params.jacobi_omega)
     beta = float(params.jacobi_momentum)  # heavy-ball acceleration (0 = reference)
 
-    def one_sweep(pressure, p_prev):
+    def one_sweep(pressure, p_prev, beta_on=None):
         accel = physics.pressure_accel(nb, cache, bst, pressure, mass, density, params)
         a_p = physics.divergence(nb, cache, bst, accel, zero_q, mass, density, params)
         s = ppe_source_term
 
         p_next = pressure + w * (s - a_p) / aii_safe
         if beta > 0.0:
-            p_next = p_next + jnp.float32(beta) * (pressure - p_prev)
+            # momentum gated off when the previous sweep already met tolerance
+            # (see tile_physics.tile_jacobi): avoids re-raising a converged
+            # residual at the warm-start >=2-iteration floor
+            b = jnp.float32(beta) * beta_on.astype(jnp.float32)
+            p_next = p_next + b * (pressure - p_prev)
         p_next = jnp.where(singular, 0.0, p_next)
 
         if residual_type == DENSITY_ERROR:
@@ -125,7 +129,8 @@ def iisph_pressure_iterations(
 
     def body(carry):
         p, iters = carry["pressure"], carry["iters"]
-        p_next, _, stats, perr = one_sweep(p, carry.get("p_prev", p))
+        p_next, _, stats, perr = one_sweep(p, carry.get("p_prev", p),
+                                           ~carry.get("prev_conv", jnp.bool_(False)))
         brk = (converged(stats) & (iters > 1)) | (iters == params.max_iters)
         out = dict(
             pressure=p_next,
@@ -140,6 +145,7 @@ def iisph_pressure_iterations(
         )
         if beta > 0.0:
             out["p_prev"] = p
+            out["prev_conv"] = converged(stats)
         return out
 
     if p0 is None:
@@ -159,6 +165,7 @@ def iisph_pressure_iterations(
     )
     if beta > 0.0:
         init["p_prev"] = p_init
+        init["prev_conv"] = jnp.bool_(False)
     out = jax.lax.while_loop(cond, body, init)
 
     # final pressure-accel recompute with the converged pressure (simulation.rs:1499-1509)

@@ -324,14 +324,19 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     n_sing = psum(jnp.sum(alive & singular))
     n_nonsing = psum(jnp.sum(nonsing_mask))
 
-    def one_sweep(p, p_prev):
+    def one_sweep(p, p_prev, beta_on=None):
         a_p = div_fn(*accel_fn(p))
         p_next = p + w * (src - a_p) / aii_safe
         if beta > 0.0:
             # projected heavy-ball: momentum applied pre-projection; the exit
             # test below still measures the reference's predicted error of the
-            # entering pressure, so the convergence CONTRACT is unchanged
-            p_next = p_next + jnp.float32(beta) * (p - p_prev)
+            # entering pressure, so the convergence CONTRACT is unchanged.
+            # beta_on gates it OFF on sweeps whose PREDECESSOR already met
+            # tolerance (warm starts at the >=2-iteration floor otherwise
+            # oscillate: the kick re-raises a converged residual, measured
+            # 2.00 -> 4.69 avg div iters on the warm stress bench window)
+            b = jnp.float32(beta) * beta_on.astype(jnp.float32)
+            p_next = p_next + b * (p - p_prev)
         p_next = jnp.where(singular, 0.0, p_next)
         if residual_type == DENSITY_ERROR:
             predicted = rho * dt * dt * (src - a_p)
@@ -363,7 +368,8 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         return ~c["done"]
 
     def body(c):
-        p_next, perr, st = one_sweep(c["pressure"], c.get("p_prev", c["pressure"]))
+        p_next, perr, st = one_sweep(c["pressure"], c.get("p_prev", c["pressure"]),
+                                     ~c.get("prev_conv", jnp.bool_(False)))
         brk = (converged(st) & (c["iters"] > 1)) | (c["iters"] == params.max_iters)
         out = dict(
             pressure=p_next,
@@ -374,6 +380,7 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
         )
         if beta > 0.0:
             out["p_prev"] = c["pressure"]
+            out["prev_conv"] = converged(st)
         return out
 
     if p0 is None:
@@ -388,6 +395,7 @@ def tile_jacobi(accel_fn, div_fn, aii, src, alive, max_avg_error, residual_type,
     )
     if beta > 0.0:
         init["p_prev"] = p_init
+        init["prev_conv"] = jnp.bool_(False)
     out = jax.lax.while_loop(cond, body, init)
     # max error recomputed from the carried error vector: the final sweep's
     # normal set is alive & ~singular & (p > 0) (p == 0 iff that sweep clamped).

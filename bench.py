@@ -48,8 +48,12 @@ RESIDENT_MODE = os.environ.get("ASPH_BENCH_RESIDENT", "0")
 BF16 = os.environ.get("ASPH_BENCH_BF16", "1") == "1"
 # heavy-ball momentum on the Jacobi sweeps (params.jacobi_momentum): same
 # operator/source/exit-test contract, several-fold fewer iterations on stiff
-# solves. Another disclosed extension (0.0 = the reference's plain schedule).
-MOMENTUM = float(os.environ.get("ASPH_BENCH_MOMENTUM", "0.0"))
+# solves — and MORE convergent than the plain schedule on this scene (beta=0
+# leaves 7 divergence solves at the iteration cap; beta>=0.7 has zero, see
+# PERFORMANCE.md momentum scan). Another disclosed extension (set 0.0 for the
+# reference's plain schedule). Default 0.9: warm ~unchanged (gated off on
+# converged predecessors), cold 1.24M -> ~3.0M updates/s.
+MOMENTUM = float(os.environ.get("ASPH_BENCH_MOMENTUM", "0.9"))
 
 
 def build_sim(replicas: int = None, resident: bool = None, bf16: bool = None,
