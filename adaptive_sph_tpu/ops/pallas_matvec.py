@@ -35,8 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import kernels
-from .pallas_sweeps import _levels_meta
-from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta, default_interpret
+from .tiles import (TILE, WM_STRIDE, TileBins, TileConfig, to_cand, to_chunks,
+                    window_meta, default_interpret)
 
 NBUF = 4   # DMA pipeline depth (group-sized copies)
 GRP = 8    # weight blocks per DMA / per loop iteration (statically unrolled)
@@ -63,7 +63,6 @@ def _gmag(r2, h_ij):
 
 def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, meta_ref,
                   cnt_ref, scratch, sem, *, cfg: TileConfig, scale: float, b_max: int):
-    lmeta = _levels_meta(cfg)
     TQ = cfg.tq
     NL = len(cfg.populated)
     C = cfg.capacity
@@ -117,20 +116,13 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, meta_ref,
             return (slot + emit.astype(jnp.int32),
                     attempted + nonempty.astype(jnp.int32))
 
-        def level_block(li, lm, carry):
-            mbase = (t * NL + li) * 4
-            ylo = wmeta_ref[mbase]
-            nrows = wmeta_ref[mbase + 1]
-            xlo = wmeta_ref[mbase + 2]
-            xhi = wmeta_ref[mbase + 3]
+        def level_block(li, carry):
+            mbase = (t * NL + li) * WM_STRIDE
+            cnt = wmeta_ref[mbase]
 
-            def row_body(r, carry):
-                y = ylo + r
-                base = lm["coff"] + y * lm["nx"]
-                lo = starts_ref[base + xlo]
-                hi = starts_ref[base + xhi + 1]
-                nwin = jnp.where(hi > lo, (hi - lo + TILE - 1) // TILE, 0)
-
+            def range_body(r, carry):
+                lo = starts_ref[wmeta_ref[mbase + 1 + 2 * r]]
+                hi = starts_ref[wmeta_ref[mbase + 2 + 2 * r]]
                 # anchors are aligned down to the 8-sublane granularity Mosaic
                 # requires for dynamic sublane slices; [lo_k, hi_k) masks exactly
                 a0 = (lo // 8) * 8
@@ -144,10 +136,10 @@ def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, meta_ref,
 
                 return jax.lax.fori_loop(0, nwin, win_body, carry, unroll=False)
 
-            return jax.lax.fori_loop(0, nrows, row_body, carry, unroll=False)
+            return jax.lax.fori_loop(0, cnt, range_body, carry, unroll=False)
 
-        for li, lm in enumerate(lmeta):
-            carry = level_block(li, lm, carry)
+        for li in range(NL):
+            carry = level_block(li, carry)
         return carry
 
     NT = cfg.capacity // TQ
@@ -382,7 +374,6 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
     Outputs match prep_op's column order:
       [m gx, m gy, m g2, mbr gx, mbr gy, mbr g2, visc_x, visc_y].
     """
-    lmeta = _levels_meta(cfg)
     TQ = cfg.tq
     NL = len(cfg.populated)
     C = cfg.capacity
@@ -493,18 +484,13 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
             return (slot + emit.astype(jnp.int32),
                     attempted + nonempty.astype(jnp.int32), acc)
 
-        def level_block(li, lm, carry):
-            mbase = (t * NL + li) * 4
-            ylo = wmeta_ref[mbase]
-            nrows = wmeta_ref[mbase + 1]
-            xlo = wmeta_ref[mbase + 2]
-            xhi = wmeta_ref[mbase + 3]
+        def level_block(li, carry):
+            mbase = (t * NL + li) * WM_STRIDE
+            cnt = wmeta_ref[mbase]
 
-            def row_body(r, carry):
-                y = ylo + r
-                base = lm["coff"] + y * lm["nx"]
-                lo = starts_ref[base + xlo]
-                hi = starts_ref[base + xhi + 1]
+            def range_body(r, carry):
+                lo = starts_ref[wmeta_ref[mbase + 1 + 2 * r]]
+                hi = starts_ref[wmeta_ref[mbase + 2 + 2 * r]]
                 a0 = (lo // 8) * 8
                 nwin = jnp.where(hi > lo, (hi - a0 + TILE - 1) // TILE, 0)
 
@@ -516,11 +502,11 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
 
                 return jax.lax.fori_loop(0, nwin, win_body, carry, unroll=False)
 
-            return jax.lax.fori_loop(0, nrows, row_body, carry, unroll=False)
+            return jax.lax.fori_loop(0, cnt, range_body, carry, unroll=False)
 
         slot, attempted, acc = carry[0], carry[1], acc0
-        for li, lm in enumerate(lmeta):
-            slot, attempted, acc = level_block(li, lm, (slot, attempted, acc))
+        for li in range(NL):
+            slot, attempted, acc = level_block(li, (slot, attempted, acc))
         prep_ref[t] = acc
         return slot, attempted
 

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import kernels
-from .tiles import TILE, TileBins, TileConfig, to_cand, to_chunks, window_meta, default_interpret
+from .tiles import (TILE, WM_STRIDE, TileBins, TileConfig, to_cand, to_chunks,
+                    window_meta, default_interpret)
 
 OUT_PAD = 8
 NEG_BIG = -3.0e38
@@ -112,16 +113,13 @@ def _levels_meta(cfg: TileConfig):
     coffs, _ = cfg.cell_offsets
     for l in cfg.populated:
         ny, nx = cfg.dims(l)
-        meta.append(
-            dict(level=l, cell=cfg.cell(l), ny=ny, nx=nx, coff=coffs[l], rmax=cfg.rmax(l))
-        )
+        meta.append(dict(level=l, cell=cfg.cell(l), ny=ny, nx=nx, coff=coffs[l]))
     return meta
 
 
 def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
                   out_ref, *, cfg: TileConfig, op: SweepOp, scale: float):
     NC = cfg.capacity // TILE
-    lmeta = _levels_meta(cfg)
     is_sum = op.reduce == "sum"
     init_val = 0.0 if is_sum else op.fill
 
@@ -208,18 +206,13 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
                     new_acc.append(jnp.maximum(acc[oi], jnp.where(valid, e, op.fill)))
             return tuple(new_acc)
 
-        def level_block(lm, li, acc):
-            mbase = (t * NL + li) * 4
-            ylo = wmeta_ref[mbase]
-            nrows = wmeta_ref[mbase + 1]
-            xlo = wmeta_ref[mbase + 2]
-            xhi = wmeta_ref[mbase + 3]
+        def level_block(li, acc):
+            mbase = (t * NL + li) * WM_STRIDE
+            cnt = wmeta_ref[mbase]
 
-            def row_body(r, acc):
-                y = ylo + r
-                base = lm["coff"] + y * lm["nx"]
-                lo = starts_ref[base + xlo]
-                hi = starts_ref[base + xhi + 1]
+            def range_body(r, acc):
+                lo = starts_ref[wmeta_ref[mbase + 1 + 2 * r]]
+                hi = starts_ref[wmeta_ref[mbase + 2 + 2 * r]]
                 ck0 = lo // TILE
                 nck = jnp.where(hi > lo, (hi - ck0 * TILE + TILE - 1) // TILE, 0)
                 npair = (nck + 1) // 2
@@ -229,11 +222,11 @@ def _sweep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dc_ref,
 
                 return jax.lax.fori_loop(0, npair, ck_body, acc, unroll=False)
 
-            return jax.lax.fori_loop(0, nrows, row_body, acc, unroll=False)
+            return jax.lax.fori_loop(0, cnt, range_body, acc, unroll=False)
 
         acc = acc0
-        for li, lm in enumerate(lmeta):
-            acc = level_block(lm, li, acc)
+        for li in range(NL):
+            acc = level_block(li, acc)
         if is_sum:
             red = tuple(jnp.sum(a, axis=1, keepdims=True) for a in acc)
         else:

@@ -10,10 +10,11 @@ round-1 engine spent ~50 ms per pair sweep. Here:
     TILE=64 so a 64-slot tile never straddles a cell row or level;
   - a particle's neighbor candidates at level lc are 3+ *contiguous* ranges of the
     sorted array (one per candidate cell row), found via a cell_starts CSR built
-    with one scatter + one reverse scan;
+    with one scatter + one reverse scan; `window_ranges` pre-flattens each tile's
+    rows into a short list of CSR cell-index pairs (pure XLA arithmetic);
   - pair sweeps run as a single-grid-step Pallas kernel (ops/pallas_sweeps.py) with
     the whole sorted field table resident in VMEM (~1.6 MB at C=24k), looping tiles
-    x rows x 64-wide chunks in-register — no HBM pair intermediates at all.
+    x ranges x 64-wide chunks in-register — no HBM pair intermediates at all.
 
 Interaction semantics are identical to ops/neighbors.py / ops/grid.py:
 pair (i, j) interacts iff |x_ij| < radius_scale * (h_i + h_j) / 2
@@ -128,19 +129,6 @@ class TileConfig:
             offs[l] = acc
             acc += self.dims(l)[0]
         return offs, acc
-
-    def rmax(self, lc: int) -> int:
-        """Static bound on candidate rows per tile at level lc.
-
-        A tile spans <= 1 cell row of its own level lt (row padding to tq), so its
-        y-extent <= cell(lt); the search radius is bounded by
-        (mscale*h_tile + mscale*h_lc)/2 <= (cell(lt) + cell(lc))/2 since binning
-        guarantees mscale*h <= cell(level). Rows touched at lc:
-        (cell(lt) + cell(lt) + cell(lc)) / cell(lc) + 2, worst lt = top level.
-        """
-        lt = max(self.populated)
-        return 2 * (1 << max(lt - lc, 0)) + 3
-
 
 @struct.dataclass
 class TileBins:
@@ -334,16 +322,38 @@ def to_cand(sorted_arr):
     return jnp.swapaxes(to_chunks(sorted_arr, TILE), 1, 2)
 
 
-def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
-    """Per-(tile, populated-level) window descriptors, vectorized (kernel prefetch).
+RL = 12  # candidate-range descriptors per (tile, populated level)
+WM_STRIDE = 1 + 2 * RL  # per-(tile, level) wm entry: [count, a0, b0, a1, b1, ...]
 
-    Returns int32 (NT * L * 4,): [ylo, nrows, cx_lo, cx_hi] per tile x level.
-    Computed from the sorted statics (x, y, h in columns 0..2) so the kernel's
-    tile loop does no vector->scalar reductions or float scalar math at all.
+
+def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
+    """Per-tile flat candidate-range descriptors (kernel scalar prefetch).
+
+    Returns (wm, collapsed):
+      wm: int32 (NT * NL * WM_STRIDE,). Per (tile t, populated-level position
+          p), wm[(t*NL+p)*WM_STRIDE:] = [count, a0, b0, a1, b1, ...]: `count`
+          CELL-INDEX pairs (a, b); the walk kernels read the contiguous slot
+          range as [starts[a], starts[b]) — one flat range loop, no per-row
+          geometry or level metadata in the kernel at all.
+      collapsed: int32 scalar — (tile, level) entries whose candidate row count
+          exceeded RL and were collapsed into ONE spanning pair
+          (first row's window start .. last row's window end). The span walks
+          the full rows in between (masked, correct); this matches what the
+          round-3 row-nest kernels effectively walked for coarse-query x
+          fine-candidate tiles, so it is a diagnostic, not a regression.
+
+    Each candidate row y in [ylo, yhi] of level l contributes the pair
+    (coff + y*nx + xlo, coff + y*nx + xhi + 1) — the same CSR window the
+    round-3 kernels computed in their row loops, now emitted as pure XLA
+    arithmetic (no gathers, sorts, or scatters: a Morton/segment-merge variant
+    of this structure measured 2.9 ms/step in XLA-side gathers+segment
+    reductions+scatters on v5e and was rejected; see PERFORMANCE.md round 4).
+
     origin: optional traced (2,) override of cfg.origin (sharded slabs).
     """
     TQ = cfg.tq
     NT = cfg.capacity // TQ
+    NL = len(cfg.populated)
     x = statics_sorted[:, 0].reshape(NT, TQ)
     y = statics_sorted[:, 1].reshape(NT, TQ)
     h = statics_sorted[:, 2].reshape(NT, TQ)
@@ -360,15 +370,39 @@ def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
         ox, oy = cfg.origin
     else:
         ox, oy = origin[0], origin[1]
+    _, total_cells = cfg.cell_offsets
+    kk = jnp.arange(RL, dtype=jnp.int32)
+    collapsed = jnp.int32(0)
     metas = []
     for p, l in enumerate(cfg.populated):
         ny, nx = cfg.dims(l)
+        coff = jnp.int32(cfg.cell_offsets[0][l])
         cellsz = jnp.float32(cfg.cell(l))
         rad = 0.5 * jnp.float32(cfg.mscale) * (hmax_t + bins.h_max_lvl[p])
         ylo = jnp.clip(jnp.floor((ymin - oy - rad) / cellsz).astype(jnp.int32), 0, ny - 1)
         yhi = jnp.clip(jnp.floor((ymax - oy + rad) / cellsz).astype(jnp.int32), 0, ny - 1)
         xlo = jnp.clip(jnp.floor((xmin - ox - rad) / cellsz).astype(jnp.int32), 0, nx - 1)
         xhi = jnp.clip(jnp.floor((xmax - ox + rad) / cellsz).astype(jnp.int32), 0, nx - 1)
-        nrows = jnp.where(alive_t, jnp.clip(yhi - ylo + 1, 0, cfg.rmax(l)), 0)
-        metas.append(jnp.stack([ylo, nrows, xlo, xhi], axis=1))  # (NT, 4)
-    return jnp.stack(metas, axis=1).reshape(-1)  # (NT * L * 4,)
+        nrows = jnp.where(alive_t, yhi - ylo + 1, 0)
+        collapse = nrows > RL
+        collapsed = collapsed + jnp.sum(collapse.astype(jnp.int32))
+        cnt = jnp.where(collapse, 1, nrows)
+        yk = ylo[:, None] + kk[None, :]  # (NT, RL)
+        a = coff + yk * nx + xlo[:, None]
+        b = coff + yk * nx + xhi[:, None] + 1
+        first = kk[None, :] == 0
+        a = jnp.where(collapse[:, None] & first, coff + ylo[:, None] * nx + xlo[:, None], a)
+        b = jnp.where(collapse[:, None] & first, coff + yhi[:, None] * nx + xhi[:, None] + 1, b)
+        live = kk[None, :] < cnt[:, None]
+        a = jnp.where(live, a, total_cells)
+        b = jnp.where(live, b, total_cells)
+        ent = jnp.concatenate(
+            [cnt[:, None], jnp.stack([a, b], axis=2).reshape(NT, 2 * RL)], axis=1)
+        metas.append(ent)  # (NT, WM_STRIDE)
+    wm = jnp.stack(metas, axis=1).reshape(-1).astype(jnp.int32)
+    return wm, collapsed
+
+
+def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
+    """Back-compat wrapper: window_ranges without the collapsed diagnostic."""
+    return window_ranges(cfg, bins, statics_sorted, origin=origin)[0]

@@ -182,10 +182,14 @@ class Simulation:
             steps += 1
         return steps
 
-    def step_chunk(self, n: int):
+    def step_chunk(self, n: int, _retries: int = 2):
         """Run n steps in ONE device dispatch via lax.scan; returns stacked diags.
 
         Invariant checks run once per chunk over the stacked diagnostics.
+        Tile-backend structure overflows (row padding / weight-cache blocks) are
+        recoverable like in step(): the ENTERING state is kept until the chunk
+        validates, so an overflow anywhere inside the scan discards the chunk,
+        grows the capacity, and re-runs the same n steps at the new capacity.
         """
         from .models.simulation import make_chunked_step_fn
 
@@ -194,6 +198,7 @@ class Simulation:
             self._chunked = {}
         if key not in self._chunked:
             self._chunked[key] = make_chunked_step_fn(self.step_fn, n)
+        entering = self.state
         t0 = time.perf_counter()
         new_state, diags = self._chunked[key](self.state)
         new_state = jax.block_until_ready(new_state)
@@ -203,6 +208,14 @@ class Simulation:
         diags = jax.device_get(diags)
 
         if self.check_invariants:
+            ro, co, lo = (int(np.max(np.asarray(x))) for x in diags["neighbor_overflow"])
+            wo = int(np.max(np.asarray(diags.get("wcache_overflow", 0))))
+            if (ro > 0 or co > 0 or wo > 0) and lo == 0 and (
+                self.backend == "tiles" and _retries > 0
+            ):
+                self.state = entering  # the chunk ran past the overflow; discard it
+                self.grow_capacity()
+                return self.step_chunk(n, _retries=_retries - 1)
             if int(np.max(np.asarray(diags["negative_aii"]))) > 0:
                 raise SimulationFailed("AII should not be negative!")
             ro, co, lo = (int(np.max(np.asarray(x))) for x in diags["neighbor_overflow"])
@@ -535,14 +548,16 @@ def _compile_step(params, scene, state, backend, boundary_handler, split_pattern
         gcfg = grid_config_for(params, scene, state, state.capacity, host=host)
         tq = _tile_tq(state, params, gcfg, host=host)
         tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq)
-        # the CSR cell_starts, the per-tile window metadata, and the packed
+        # the CSR cell_starts, the per-tile range descriptors, and the packed
         # weight-cache block meta are all prefetched SMEM operands; Mosaic caps
         # SMEM at 1 MiB — configs beyond it take the neighbor-list backend
+        from .ops.tiles import WM_STRIDE
+
         _, total_cells = tile_cfg.cell_offsets
         nt = tile_cfg.capacity // tile_cfg.tq
         smem_bytes = (
             (total_cells + 1) * 4
-            + nt * len(tile_cfg.populated) * 4 * 4
+            + nt * len(tile_cfg.populated) * WM_STRIDE * 4
             + tile_cfg.b_max * 4 + 16
         )
         if smem_bytes > 980_000:

@@ -57,7 +57,7 @@ def main():
     g = dataclasses.replace(g, populated=(0, g.levels - 1))
     cfg = TileConfig.from_grid(g, 2.0)
     print(f"cfg: levels={cfg.levels} pop={cfg.populated} nx0={cfg.nx0} "
-          f"cells={cfg.cell_offsets[1]} rmax={[cfg.rmax(l) for l in cfg.populated]}")
+          f"cells={cfg.cell_offsets[1]} rows={cfg.row_offsets[1]}")
 
     bins = build_tiles(pos, h * 2.0, h, alive, cfg)
     print(f"n_padded={int(bins.n_padded)} overflow={int(bins.overflow)} "

@@ -55,9 +55,10 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     elif name == "stress":
         import bench
 
-        # exact reference stress scene; f32 weight blocks = reference-parity
-        # numerics regardless of the bench's bf16 default
-        sim = bench.build_sim(replicas=1, bf16=False)
+        # exact reference stress scene; f32 weight blocks + plain Jacobi
+        # schedule = reference-parity numerics regardless of the bench's
+        # bf16/momentum defaults
+        sim = bench.build_sim(replicas=1, bf16=False, momentum=0.0)
         params, scene = sim.params, sim.scene
         tol_den = params.hybrid_dfsph_max_avg_density_error
         tol_div = params.hybrid_dfsph_max_avg_divergence_error
