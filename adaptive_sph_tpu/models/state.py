@@ -158,7 +158,11 @@ def h_from_mass_np(mass, rest_density, dim: int = 2):
     return kernels.ETA * r
 
 
-def default_capacity(n: int, adaptive: bool, headroom: float = 1.5) -> int:
-    """Round capacity up to a TPU-friendly multiple of 1024."""
+def default_capacity(n: int, adaptive: bool, headroom: float = 1.125) -> int:
+    """Round capacity up to a TPU-friendly multiple of 1024.
+
+    The packed tile layout (ops/tiles.py) consumes no capacity on padding, so
+    non-adaptive scenes only need slack for numerical safety; adaptive scenes
+    keep 2x for resampling growth (capacity still grows on overflow)."""
     target = int(n * (headroom if not adaptive else max(headroom, 2.0)))
     return max(1024, ((target + 1023) // 1024) * 1024)

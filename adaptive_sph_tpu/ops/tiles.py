@@ -5,13 +5,19 @@ path. Measured motivation (scripts/prim_bench.py, v5e): arbitrary gathers run ~2
 below HBM bandwidth and XLA materializes dense-window intermediates in HBM, so the
 round-1 engine spent ~50 ms per pair sweep. Here:
 
-  - alive particles are sorted by (level, cell-row, cell) with ONE multi-operand
-    lax.sort (no gathers); each (level,row) segment is padded to a multiple of
-    TILE=64 so a 64-slot tile never straddles a cell row or level;
-  - a particle's neighbor candidates at level lc are 3+ *contiguous* ranges of the
-    sorted array (one per candidate cell row), found via a cell_starts CSR built
-    with one scatter + one reverse scan; `window_ranges` pre-flattens each tile's
-    rows into a short list of CSR cell-index pairs (pure XLA arithmetic);
+  - alive particles are sorted by (level, cell-row, cell) with ONE single-key
+    lax.sort (no gathers) and packed with ZERO padding: sorted position == slot.
+    (Rounds 2-3 padded every cell row to the query-tile width so tiles stayed
+    row-pure; that left ~half the query lanes dead and inflated candidate
+    ranges with padding slots — the round-4 census measured 1.84% pair
+    validity and 47% fully-empty walked windows on the bench scene.)
+  - a particle's neighbor candidates at level lc are a few *contiguous* ranges
+    of the sorted array (one per candidate cell row), found via a cell_starts
+    CSR built with one scatter + one reverse scan; `window_ranges` computes
+    per-tile candidate ranges from 8-lane GROUP hulls (a query tile may now
+    span several cell rows — each row's range is the hull of the groups whose
+    support reaches it, a tight exact superset), flattened to a short list of
+    CSR cell-index pairs (pure XLA arithmetic);
   - pair sweeps run as a single-grid-step Pallas kernel (ops/pallas_sweeps.py) with
     the whole sorted field table resident in VMEM (~1.6 MB at C=24k), looping tiles
     x ranges x 64-wide chunks in-register — no HBM pair intermediates at all.
@@ -138,8 +144,9 @@ class TileBins:
     pp         : (C,) original particle -> sorted slot (C = dropped/dead)
     cell_starts: (total_cells+1,) CSR starts into the sorted array, all levels
     h_max_lvl  : (8,) max h per populated-level position (0 elsewhere)
-    n_padded   : () int32 — slots in use (alive + row padding)
-    overflow   : () int32 — alive particles that did not fit in capacity
+    n_padded   : () int32 — slots in use (== alive count: the layout is packed)
+    overflow   : () int32 — always 0 in the packed layout (alive <= capacity by
+                 construction); kept for the runner's overflow-recovery API
     level_overflow : () int32 — alive particles above the top populated level
     """
 
@@ -154,7 +161,7 @@ class TileBins:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBins:
-    """Sort alive particles into the row-padded tile layout.
+    """Sort alive particles into the packed (padding-free) tile layout.
 
     sr: search radius per particle (mscale * h_eff) — decides the level.
     h:  smoothing length (for per-level maxima used in window bounds).
@@ -186,76 +193,44 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBin
     cy = jnp.clip(jnp.floor((position[:, 1] - ox[1]) / cell_size).astype(jnp.int32), 0, ny_of - 1)
 
     coffs, total_cells = cfg.cell_offsets
-    roffs, total_rows = cfg.row_offsets
     coff_of = jnp.zeros(L + 1, jnp.int32)
-    roff_of = jnp.zeros(L + 1, jnp.int32)
     for l in P:
         coff_of = coff_of.at[l].set(coffs[l])
-        roff_of = roff_of.at[l].set(roffs[l])
     lv = jnp.minimum(level, L)
     g = jnp.where(alive, coff_of[lv] + cy * nx_of + cx, jnp.int32(total_cells))
-    grow = jnp.where(alive, roff_of[lv] + cy, jnp.int32(total_rows))
 
     # one sort carries everything (no gathers). When cell ids fit, pack
     # (cell, iota) into ONE int32 key — a single-operand sort is measurably
-    # cheaper than the 3-operand variant; rows are recovered arithmetically
-    # from the sorted cell ids via the static ladder.
+    # cheaper than the multi-operand variant. The sorted position IS the slot:
+    # the layout is fully packed (per-group window hulls in window_ranges make
+    # row-pure tiles unnecessary, so the old row padding — with its dead lanes,
+    # padding slots inside candidate ranges, and row-overflow failure class —
+    # is gone entirely).
     iota = jnp.arange(C, dtype=jnp.int32)
     if (total_cells + 1) * C < 2**31:
         key = g * jnp.int32(C) + iota
         (ks,) = jax.lax.sort((key,), num_keys=1)
         src = ks % jnp.int32(C)
         gs = ks // jnp.int32(C)
-        # row of cell id: per populated level, row = roff + (g - coff) // nx
-        grow_s = jnp.full_like(gs, jnp.int32(total_rows))
-        for l in P:
-            ny, nx = cfg.dims(l)
-            lo = coffs[l]
-            hi = lo + ny * nx
-            in_l = (gs >= lo) & (gs < hi)
-            grow_s = jnp.where(in_l, roffs[l] + (gs - lo) // jnp.int32(nx), grow_s)
     else:
-        gs, grow_s, src = jax.lax.sort((g, grow, iota), num_keys=1)
+        gs, src = jax.lax.sort((g, iota), num_keys=1)
 
-    # rank within row + row-padding placement (first/last occurrence via scans;
-    # jnp.searchsorted(x, x) lowers to a gather loop on TPU — measured ~4 ms each)
-    prev_row = jnp.concatenate([grow_s[:1] - 1, grow_s[:-1]])
-    next_row = jnp.concatenate([grow_s[1:], grow_s[-1:] + 1])
-    is_first = grow_s != prev_row
-    is_last = grow_s != next_row
-    first = jax.lax.associative_scan(jnp.maximum, jnp.where(is_first, iota, 0))
-    last = jnp.flip(
-        jax.lax.associative_scan(
-            jnp.minimum, jnp.flip(jnp.where(is_last, iota + 1, C))
-        )
-    )
-    rank = iota - first
-    size = last - first
-    # padding added by the previous row, accumulated
-    TQ = cfg.tq
-    prev_size = jnp.concatenate([size[:1] * 0, size[:-1]])
-    pad_prev = (TQ - prev_size % TQ) % TQ
-    pad_before = jnp.cumsum(jnp.where(is_first & (iota > 0), pad_prev, 0)).astype(jnp.int32)
-    pp_s = first + pad_before + rank  # padded slot of sorted particle i
-
-    alive_s = grow_s < total_rows
+    alive_s = gs < total_cells
     n_alive = jnp.sum(alive_s).astype(jnp.int32)
-    fits = alive_s & (pp_s < C)
-    overflow = jnp.sum(alive_s & ~fits).astype(jnp.int32)
-    n_padded = jnp.max(jnp.where(fits, pp_s + 1, 0)).astype(jnp.int32)
+    n_padded = n_alive
+    overflow = jnp.int32(0)  # packed: alive <= capacity by construction
 
-    # perm: padded slot -> original index
-    perm = jnp.full((C,), C, jnp.int32)
-    perm = perm.at[jnp.where(fits, pp_s, C)].set(src, mode="drop")
-    # pp: original index -> padded slot
+    # perm: slot -> original index (sorted order, no scatter needed)
+    perm = jnp.where(alive_s, src, C)
+    # pp: original index -> slot
     pp = jnp.full((C,), C, jnp.int32)
-    pp = pp.at[jnp.where(fits, src, C)].set(pp_s, mode="drop")
+    pp = pp.at[jnp.where(alive_s, src, C)].set(iota, mode="drop")
 
     # CSR cell starts: scatter first-of-cell positions, fill empties from the right
     is_first_cell = gs != jnp.concatenate([gs[:1] - 1, gs[:-1]])
     starts = jnp.full((total_cells + 1,), jnp.int32(2**30), jnp.int32)
-    tgt = jnp.where(fits & is_first_cell & (gs < total_cells), gs, total_cells + 1)
-    starts = starts.at[tgt].set(pp_s, mode="drop")
+    tgt = jnp.where(alive_s & is_first_cell, gs, total_cells + 1)
+    starts = starts.at[tgt].set(iota, mode="drop")
     starts = starts.at[total_cells].min(n_padded)
     # reverse cummin fills empty cells with the next occupied cell's start
     starts = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(starts)))
@@ -322,8 +297,10 @@ def to_cand(sorted_arr):
     return jnp.swapaxes(to_chunks(sorted_arr, TILE), 1, 2)
 
 
-RL = 12  # candidate-range descriptors per (tile, populated level)
+RL = 16  # candidate-range descriptors per (tile, populated level)
 WM_STRIDE = 1 + 2 * RL  # per-(tile, level) wm entry: [count, a0, b0, a1, b1, ...]
+GW = 8  # hull-group width (lanes): tiles span multiple cell rows in the packed
+        # layout; 8-lane groups keep each hull ~1 row so ranges stay tight
 
 
 def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
@@ -338,33 +315,36 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
       collapsed: int32 scalar — (tile, level) entries whose candidate row count
           exceeded RL and were collapsed into ONE spanning pair
           (first row's window start .. last row's window end). The span walks
-          the full rows in between (masked, correct); this matches what the
-          round-3 row-nest kernels effectively walked for coarse-query x
-          fine-candidate tiles, so it is a diagnostic, not a regression.
+          the full rows in between (masked, correct), so it is a diagnostic,
+          not a correctness event.
 
-    Each candidate row y in [ylo, yhi] of level l contributes the pair
-    (coff + y*nx + xlo, coff + y*nx + xhi + 1) — the same CSR window the
-    round-3 kernels computed in their row loops, now emitted as pure XLA
-    arithmetic (no gathers, sorts, or scatters: a Morton/segment-merge variant
-    of this structure measured 2.9 ms/step in XLA-side gathers+segment
-    reductions+scatters on v5e and was rejected; see PERFORMANCE.md round 4).
+    In the packed layout a tile's queries may span several cell rows, so the
+    tile is split into 8-lane GROUPS (consecutive slots — almost always within
+    one cell row): each group gets a hull rect [cylo..cyhi] x [cxlo..cxhi] at
+    every candidate level, and candidate row y's range is the x-hull of the
+    groups whose rect reaches y — an exact superset of the pair set, disjoint
+    across rows. Rows no group reaches emit an empty range (a == b). All pure
+    XLA arithmetic: no gathers, sorts, or scatters (a Morton/segment-merge
+    variant measured 2.9 ms/step in XLA-side gathers on v5e; rejected).
 
     origin: optional traced (2,) override of cfg.origin (sharded slabs).
     """
     TQ = cfg.tq
     NT = cfg.capacity // TQ
     NL = len(cfg.populated)
-    x = statics_sorted[:, 0].reshape(NT, TQ)
-    y = statics_sorted[:, 1].reshape(NT, TQ)
-    h = statics_sorted[:, 2].reshape(NT, TQ)
+    gw = min(GW, TQ)
+    GK = TQ // gw  # hull groups per tile
+    x = statics_sorted[:, 0].reshape(NT, GK, gw)
+    y = statics_sorted[:, 1].reshape(NT, GK, gw)
+    h = statics_sorted[:, 2].reshape(NT, GK, gw)
     valid = h > 0.0
     big = jnp.float32(1e30)
-    xmin = jnp.min(jnp.where(valid, x, big), axis=1)
-    xmax = jnp.max(jnp.where(valid, x, -big), axis=1)
-    ymin = jnp.min(jnp.where(valid, y, big), axis=1)
-    ymax = jnp.max(jnp.where(valid, y, -big), axis=1)
-    hmax_t = jnp.max(jnp.where(valid, h, 0.0), axis=1)
-    alive_t = hmax_t > 0.0
+    xmin = jnp.min(jnp.where(valid, x, big), axis=2)  # (NT, GK)
+    xmax = jnp.max(jnp.where(valid, x, -big), axis=2)
+    ymin = jnp.min(jnp.where(valid, y, big), axis=2)
+    ymax = jnp.max(jnp.where(valid, y, -big), axis=2)
+    hmax_g = jnp.max(jnp.where(valid, h, 0.0), axis=2)
+    alive_g = hmax_g > 0.0
 
     if origin is None:
         ox, oy = cfg.origin
@@ -372,27 +352,50 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
         ox, oy = origin[0], origin[1]
     _, total_cells = cfg.cell_offsets
     kk = jnp.arange(RL, dtype=jnp.int32)
+    ibig = jnp.int32(2**30)
     collapsed = jnp.int32(0)
     metas = []
     for p, l in enumerate(cfg.populated):
         ny, nx = cfg.dims(l)
         coff = jnp.int32(cfg.cell_offsets[0][l])
         cellsz = jnp.float32(cfg.cell(l))
-        rad = 0.5 * jnp.float32(cfg.mscale) * (hmax_t + bins.h_max_lvl[p])
-        ylo = jnp.clip(jnp.floor((ymin - oy - rad) / cellsz).astype(jnp.int32), 0, ny - 1)
-        yhi = jnp.clip(jnp.floor((ymax - oy + rad) / cellsz).astype(jnp.int32), 0, ny - 1)
-        xlo = jnp.clip(jnp.floor((xmin - ox - rad) / cellsz).astype(jnp.int32), 0, nx - 1)
-        xhi = jnp.clip(jnp.floor((xmax - ox + rad) / cellsz).astype(jnp.int32), 0, nx - 1)
-        nrows = jnp.where(alive_t, yhi - ylo + 1, 0)
+        rad = 0.5 * jnp.float32(cfg.mscale) * (hmax_g + bins.h_max_lvl[p])
+        cylo = jnp.clip(jnp.floor((ymin - oy - rad) / cellsz).astype(jnp.int32), 0, ny - 1)
+        cyhi = jnp.clip(jnp.floor((ymax - oy + rad) / cellsz).astype(jnp.int32), 0, ny - 1)
+        cxlo = jnp.clip(jnp.floor((xmin - ox - rad) / cellsz).astype(jnp.int32), 0, nx - 1)
+        cxhi = jnp.clip(jnp.floor((xmax - ox + rad) / cellsz).astype(jnp.int32), 0, nx - 1)
+        ylo_t = jnp.min(jnp.where(alive_g, cylo, ibig), axis=1)  # (NT,)
+        yhi_t = jnp.max(jnp.where(alive_g, cyhi, -1), axis=1)
+        alive_t = jnp.any(alive_g, axis=1)
+        nrows = jnp.where(alive_t, yhi_t - ylo_t + 1, 0)
         collapse = nrows > RL
         collapsed = collapsed + jnp.sum(collapse.astype(jnp.int32))
         cnt = jnp.where(collapse, 1, nrows)
-        yk = ylo[:, None] + kk[None, :]  # (NT, RL)
-        a = coff + yk * nx + xlo[:, None]
-        b = coff + yk * nx + xhi[:, None] + 1
+        yk = ylo_t[:, None] + kk[None, :]  # (NT, RL)
+        # groups whose rect reaches candidate row yk -> per-row x hull
+        reach = (
+            alive_g[:, None, :]
+            & (cylo[:, None, :] <= yk[:, :, None])
+            & (yk[:, :, None] <= cyhi[:, None, :])
+        )  # (NT, RL, GK)
+        xlo_k = jnp.min(jnp.where(reach, cxlo[:, None, :], ibig), axis=2)
+        xhi_k = jnp.max(jnp.where(reach, cxhi[:, None, :], -1), axis=2)
+        row_live = jnp.any(reach, axis=2)
+        a = coff + yk * nx + xlo_k
+        b = coff + yk * nx + xhi_k + 1
+        a = jnp.where(row_live, a, total_cells)
+        b = jnp.where(row_live, b, total_cells)
+        # collapse: one spanning pair from the first row's window start to the
+        # last row's window end (covers every per-row range in between)
+        reach_lo = alive_g & (cylo <= ylo_t[:, None]) & (ylo_t[:, None] <= cyhi)
+        reach_hi = alive_g & (cylo <= yhi_t[:, None]) & (yhi_t[:, None] <= cyhi)
+        xlo_first = jnp.min(jnp.where(reach_lo, cxlo, ibig), axis=1)
+        xhi_last = jnp.max(jnp.where(reach_hi, cxhi, -1), axis=1)
+        a_span = coff + ylo_t * nx + xlo_first
+        b_span = coff + yhi_t * nx + xhi_last + 1
         first = kk[None, :] == 0
-        a = jnp.where(collapse[:, None] & first, coff + ylo[:, None] * nx + xlo[:, None], a)
-        b = jnp.where(collapse[:, None] & first, coff + yhi[:, None] * nx + xhi[:, None] + 1, b)
+        a = jnp.where(collapse[:, None] & first, a_span[:, None], a)
+        b = jnp.where(collapse[:, None] & first, b_span[:, None], b)
         live = kk[None, :] < cnt[:, None]
         a = jnp.where(live, a, total_cells)
         b = jnp.where(live, b, total_cells)

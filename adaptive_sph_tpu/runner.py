@@ -328,64 +328,17 @@ def _initial_max_occupancy(state, params, gcfg, host=None) -> int:
 
 
 def _tile_tq(state, params, gcfg, host=None) -> int:
-    """Pick the query-tile width: the largest of 128/64/32/16 whose worst-case
-    cell-row padding (one partial tile per occupied row, x2 headroom for row churn)
-    still fits the capacity. Larger tiles amortize per-tile kernel overhead; smaller
-    ones waste less capacity on row padding (ops/tiles.py layout). tq=128 measured
-    4.32 -> 4.02 ms/step on the stress bench (v5e, 2026-08-18)."""
-    if host is None:
-        host = dict(zip(("mass", "position", "alive"),
-                        jax.device_get((state.mass, state.position, state.alive))))
-    n = int(np.sum(host["alive"]))
-    rows = _tile_row_count(state, params, gcfg, host=host)
+    """Pick the query-tile width. The packed layout (ops/tiles.py) wastes no
+    capacity on padding, so the widest tile always fits; larger tiles amortize
+    per-tile kernel overhead (tq=128 measured 4.32 -> 4.02 ms/step on the
+    stress bench, v5e 2026-08-18). ASPH_TQ overrides for experiments."""
     force = os.environ.get("ASPH_TQ")  # experiment knob: wider/narrower tiles
-    candidates = (int(force),) if force else (128, 64, 32, 16)
-    hr = _tile_pad_headroom(params)
-    for tq in candidates:
-        if n + hr * rows * tq <= state.capacity:
+    if force:
+        return int(force)
+    for tq in (128, 64, 32, 16):
+        if state.capacity % tq == 0 and state.capacity >= 2 * tq:
             return tq
-    return int(force) if force else 16
-
-
-def _tile_pad_headroom(params) -> float:
-    """Row-padding headroom factor for tq selection/capacity sizing.
-
-    Resampling changes h (and so the (level, cell-row) segmentation) every
-    step — keep 2x worst-case padding. With adaptivity off the level set is
-    frozen and collapsing scenes reduce y-rows, so 1.15x of the initial
-    worst-case suffices; build_tiles overflow still grows/retries (runner.step).
-    Measured: the 2x headroom pushed the stress bench from C=24576 (3.43
-    ms/step at tq=128) to C=34816 (4.27 ms) — capacity-scaled table ops pay
-    for every padded slot."""
-    adaptive_n = params.splitting or params.merging or params.sharing
-    return 2.0 if adaptive_n else 1.15
-
-
-def _tile_row_count(state, params, gcfg, host=None) -> int:
-    """Host-side count of occupied (level, cell-row) pairs of the initial state."""
-    from .models.grid_step import max_scale
-    from .models.state import h_from_mass_np
-
-    if host is None:
-        host = dict(zip(("mass", "position", "alive"),
-                        jax.device_get((state.mass, state.position, state.alive))))
-    pos = host["position"][host["alive"]]
-    if params.particle_sizes == ParticleSizes.Uniform:
-        h = np.full(len(pos), params.h, np.float32)
-    else:
-        h = h_from_mass_np(host["mass"][host["alive"]], params.rest_density, 2)
-    sr = h * max_scale(params)
-    level = np.clip(
-        np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int),
-        0, gcfg.levels - 1,
-    )
-    rows = 0
-    for l in np.unique(level):
-        sel = level == l
-        cell = gcfg.cell(int(l))
-        cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
-        rows += len(np.unique(cy))
-    return rows
+    return 16
 
 
 def grid_config_for(
@@ -480,25 +433,6 @@ def create_simulation(
 
     if backend == "auto":
         backend = "tiles" if supports_tile_backend(params) else "lists"
-
-    if backend == "tiles" and capacity is None:
-        # wider tiles halve the window/block count of every Pallas walk (the
-        # loop-control floor dominates the sweep cost, PERFORMANCE.md) — grow
-        # the default capacity when a modest (<=2x) bump lets _tile_tq pick a
-        # wider tile (128 preferred, then 64)
-        gcfg_probe = grid_config_for(params, scene, state, state.capacity, host=host)
-        cur_tq = _tile_tq(state, params, gcfg_probe, host=host)
-        if cur_tq < 128:
-            n_alive = int(np.sum(host["alive"]))
-            rows = _tile_row_count(state, params, gcfg_probe, host=host)
-            hr = _tile_pad_headroom(params)
-            for want in (128, 64):
-                if cur_tq >= want:
-                    break
-                cap_w = ((int(n_alive + hr * rows * want) + 1023) // 1024) * 1024
-                if state.capacity < cap_w <= 2 * state.capacity:
-                    state = pad_state_to(state, cap_w)
-                    break
 
     if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
         params.splitting

@@ -75,6 +75,10 @@ def main():
     crows = 0         # occupied 8-cand-sublane rows (full lane width)
     crows_q = 0       # occupied (8 cand x 32 lane) cells
     empty_blocks = 0
+    empty_by_range = defaultdict(int)  # range position r -> empty windows
+    win_by_range = defaultdict(int)
+    occq_hist = defaultdict(int)  # occupied 32-lane quarters per nonempty window
+    valid_hist = defaultdict(int)  # valid-pair count bucket per walked window
 
     for t in range(NT):
         if qlev[t] < 0:
@@ -109,8 +113,12 @@ def main():
                              & (ch > 0) & qvalid[None, :])
                     np_pairs = int(valid.sum())
                     key = (qlev[t], tcfg.populated[li])
+                    win_by_range[r] += 1
+                    valid_hist[min(np_pairs, 1) if np_pairs < 2 else (
+                        1 << int(np.log2(np_pairs)))] += 1
                     if np_pairs == 0:
                         empty_blocks += 1
+                        empty_by_range[r] += 1
                         continue
                     blocks[key] += 1
                     pairs[key] += np_pairs
@@ -120,6 +128,7 @@ def main():
                     qhalves += int(lane_occ[:64].any()) + int(lane_occ[64:].any())
                     qq = lane_occ.reshape(TQ // 32, 32).any(axis=1)
                     qquarts += int(qq.sum())
+                    occq_hist[int(qq.sum())] += 1
                     row_occ = valid.any(axis=1).reshape(8, 8).any(axis=1)
                     crows += int(row_occ.sum())
                     cell_occ = valid.reshape(8, 8, TQ // 32, 32).any(axis=(1, 3))
@@ -156,6 +165,13 @@ def main():
     print(f"  query 32-lane quarters   : {qquart/1e6:7.2f} MB  ({qquarts} quarters)")
     print(f"  both (8x32 cells)        : {both/1e6:7.2f} MB  ({crows_q} cells)")
     print(f"  ideal (pairs only)       : {ideal/1e6:7.2f} MB")
+    print(f"\nwindows by range position (walked/empty): "
+          + " ".join(f"r{r}:{win_by_range[r]}/{empty_by_range[r]}"
+                     for r in sorted(win_by_range)))
+    print("occupied quarters per nonempty window: "
+          + " ".join(f"{k}q:{occq_hist[k]}" for k in sorted(occq_hist)))
+    print("valid pairs per walked window (pow2 buckets): "
+          + " ".join(f"{k}:{valid_hist[k]}" for k in sorted(valid_hist)))
 
 
 if __name__ == "__main__":

@@ -14,10 +14,11 @@ import sys
 _AXON_SITE = "/root/.axon_site"
 if (
     _AXON_SITE in os.environ.get("PYTHONPATH", "")
-    and "jax" not in sys.modules
     and not os.environ.get("ASPH_TEST_ALLOW_TPU")
     and not os.environ.get("_ASPH_CONFTEST_REEXEC")
 ):
+    # NOTE: re-exec even if sitecustomize already imported jax — execve
+    # replaces the process, so a tainted sys.modules doesn't matter.
     _env = dict(os.environ)
     _env["PYTHONPATH"] = ":".join(
         p for p in _env.get("PYTHONPATH", "").split(":") if p and p != _AXON_SITE

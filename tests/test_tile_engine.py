@@ -76,16 +76,16 @@ def test_builder_invariants():
     # cell_starts monotone
     cs = np.asarray(bins.cell_starts)
     assert (np.diff(cs) >= 0).all()
-    # sorted y is row-monotone per level: check keys reconstructed from positions
+    # packed layout: slots [0, n_alive) are exactly the alive particles
     st = np.asarray(sort_fields(bins, [pos, h, mass]))
     live = st[:, 2] > 0
-    # tiles never straddle levels: each tq-tile has at most one distinct h-scale class
-    tq = cfg.tq
-    hs = st[:, 2].reshape(-1, tq)
-    for t in range(hs.shape[0]):
-        vals = hs[t][hs[t] > 0]
-        if len(vals):
-            assert (vals > 0.1).all() or (vals < 0.1).all()
+    n_alive = int(np.sum(a))
+    assert int(bins.n_padded) == n_alive
+    assert live[:n_alive].all() and not live[n_alive:].any()
+    # sorted order is level-major then row-major: h-scale classes are contiguous
+    # (coarse cells sort after every fine cell in the flat cell index)
+    coarse = st[:n_alive, 2] > 0.1
+    assert (np.diff(coarse.astype(np.int8)) >= 0).all()
 
 
 OPS = [
