@@ -39,7 +39,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/asph_jax_cache")
 import numpy as np
 
 
-def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
+def run_scenario(name, t_end, chunk=64, backend=None, capacity=None,
+                 momentum=0.0):
     import jax
 
     from adaptive_sph_tpu.models import scene as scene_mod
@@ -55,10 +56,11 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     elif name == "stress":
         import bench
 
-        # exact reference stress scene; f32 weight blocks + plain Jacobi
-        # schedule = reference-parity numerics regardless of the bench's
-        # bf16/momentum defaults
-        sim = bench.build_sim(replicas=1, bf16=False, momentum=0.0)
+        # exact reference stress scene; f32 weight blocks + (by default) the
+        # plain Jacobi schedule = reference-parity numerics regardless of the
+        # bench's bf16/momentum defaults. --momentum 0.9 runs the disclosed
+        # heavy-ball extension (same operator/source/exit-test contract).
+        sim = bench.build_sim(replicas=1, bf16=False, momentum=momentum)
         params, scene = sim.params, sim.scene
         tol_den = params.hybrid_dfsph_max_avg_density_error
         tol_div = params.hybrid_dfsph_max_avg_divergence_error
@@ -145,6 +147,7 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
 
     den_errs, div_errs, den_iters, div_iters, dts = [], [], [], [], []
     den_errs_all, den_max_all = [], []
+    dt_collapse_t = None
     viol = {"den": 0, "div": 0}
     capped = {"den": 0, "div": 0}
     cap = int(params.max_iters)
@@ -161,6 +164,13 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
                      if not isinstance(v, tuple)}
         steps += len(np.atleast_1d(dlist["dt"]))
         dt_arr = np.atleast_1d(np.asarray(dlist["dt"], np.float64))
+        # abort cleanly on a velocity-runaway collapse (dt -> 0/NaN): record
+        # the time it happened instead of looping forever / writing NaNs
+        if not np.all(np.isfinite(dt_arr)) or float(dt_arr.min()) < 1e-9:
+            dt_collapse_t = float(np.nanmax([0.0, float(sim.time)]))
+            print(f"  [{name}] DT COLLAPSE at t~{dt_collapse_t:.4f} "
+                  f"(step {steps}); aborting run", file=sys.stderr, flush=True)
+            break
         if "density_avg_error" in dlist:
             vals = np.abs(np.asarray(dlist["density_avg_error"], np.float64))
             it = np.atleast_1d(np.asarray(
@@ -213,14 +223,20 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     wall = time.perf_counter() - t0
     alive = np.asarray(sim.state.alive)
     pos = np.asarray(sim.state.position)[alive]
+    nonfinite = int((~np.isfinite(pos).all(axis=1)).sum())
+    pos = pos[np.isfinite(pos).all(axis=1)]
     mass1 = float(np.sum(np.asarray(sim.state.mass)[alive]))
-    contained = bool((np.abs(pos[:, 0]) < w2).all() and (np.abs(pos[:, 1]) < h2).all())
+    contained = bool((np.abs(pos[:, 0]) < w2).all() and (np.abs(pos[:, 1]) < h2).all()
+                     and nonfinite == 0)
     excess = float(max(np.max(np.abs(pos[:, 0]) - w2, initial=0.0),
                        np.max(np.abs(pos[:, 1]) - h2, initial=0.0)))
     out = {
         "scenario": name,
-        "t_end": float(sim.time),
+        "t_end": float(np.nan_to_num(float(sim.time), nan=dt_collapse_t or 0.0)),
         "steps": steps,
+        "jacobi_momentum": momentum,
+        "dt_collapse_t": dt_collapse_t,
+        "nonfinite_positions": nonfinite,
         "n_initial": n0,
         "n_final": sim.num_fluid_particles,
         "mass_drift": abs(mass1 - mass0) / mass0,
@@ -251,7 +267,7 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None):
     }
     print(json.dumps(out, indent=1), flush=True)
     ok = (contained and out["mass_drift"] < 1e-3 and viol["den"] == 0
-          and viol["div"] == 0)
+          and viol["div"] == 0 and dt_collapse_t is None)
     return out, ok
 
 
@@ -266,6 +282,12 @@ def main():
     ap.add_argument("--backend", default=None,
                     help="force a backend (e.g. lists for CPU runs; the tile "
                          "engine is interpret-mode off-TPU and too slow there)")
+    ap.add_argument("--momentum", type=float, default=0.0,
+                    help="jacobi heavy-ball beta for the stress scenario "
+                         "(0 = reference's plain schedule)")
+    ap.add_argument("--record-as", default=None,
+                    help="record the (single) scenario under this key in "
+                         "PARITY_RUNS.json instead of its own name")
     args = ap.parse_args()
     # stress runs into the dynamic regime (t >= 1.0 s) so the density contract
     # is exercised beyond the hydrostatic all-clamped window (VERDICT r3 #3)
@@ -275,8 +297,9 @@ def main():
     all_ok = True
     for name in (args.scenarios or ["dam", "stress"]):
         out, ok = run_scenario(name, targets[name] * args.t_scale,
-                               backend=args.backend, capacity=args.capacity)
-        results[name] = out
+                               backend=args.backend, capacity=args.capacity,
+                               momentum=args.momentum)
+        results[args.record_as or name] = out
         all_ok = all_ok and ok
         print(f"{name}: {'PASS' if ok else 'FAIL'}", flush=True)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
