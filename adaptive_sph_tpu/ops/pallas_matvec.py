@@ -360,6 +360,9 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     return out[:, 0, :].reshape(C), out[:, 1, :].reshape(C)
 
 
+BGRP = 8  # builder emission group: blocks per DMA (must divide b_max)
+
+
 def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                        w_hbm, meta_ref, cnt_ref, prep_ref, scratch, sem, *,
                        cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
@@ -370,14 +373,24 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
     The weight block entries w = m_j * grad W_ij ARE the integrand of the a_ii
     fluid sums (S1 = sum w, S2 = sum w / rho_j, g2 = |w|^2 / m_j), so the prep
     sweep (models/tile_physics.py prep_op) comes nearly free: per window one
-    masked (64, 8*TQ) term block is sublane-reduced into a per-tile accumulator.
+    masked term block is sublane-reduced into a per-tile accumulator.
     Outputs match prep_op's column order:
       [m gx, m gy, m g2, mbr gx, mbr gy, mbr g2, visc_x, visc_y].
+
+    v5 walk structure (the per-window scalar overhead was ~50% of the round-4
+    builder cost): candidates are processed TWO 64-windows (128 sublanes) per
+    loop iteration, and emitted blocks are staged in a (2, BGRP, ...) group
+    ring — ONE async copy per BGRP consecutive block slots instead of one per
+    block, so DMA issue/wait overhead drops 8x and the stores stay
+    branch-light. Trailing positions of a partial final group carry garbage
+    but live at slot indices >= cnt, which no matvec ever reads.
     """
     TQ = cfg.tq
     NL = len(cfg.populated)
     C = cfg.capacity
     D2 = 2
+    W2 = 2 * TILE
+    half = _lane_width(TQ) // 2
 
     def tile_body(t, carry):
         qs = sq_ref[t]  # (F, TQ) channels-first queries
@@ -392,49 +405,68 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
 
         acc0 = jnp.zeros((8, TQ), jnp.float32)
 
-        def window_work(a, lo_k, hi_k, carry):
+        def emit_half(slot, wx_h, wy_h, a_h):
+            """Stage one 64-cand block in the group ring; flush on wrap."""
+            buf = jnp.mod(slot // BGRP, 2)
+            pos = jnp.mod(slot, BGRP)
+
+            @pl.when((pos == 0) & (slot >= 2 * BGRP))
+            def _():  # buffer reuse: drain the DMA issued 2 groups ago
+                pltpu.make_async_copy(
+                    scratch.at[buf],
+                    w_hbm.at[pl.ds(jnp.maximum(slot - 2 * BGRP, 0), BGRP)],
+                    sem.at[buf],
+                ).wait()
+
+            scratch[buf, pos, :, 0:TQ] = wx_h.astype(scratch.dtype)
+            scratch[buf, pos, :, half:half + TQ] = wy_h.astype(scratch.dtype)
+            meta_ref[slot] = (t << META_SHIFT) + a_h
+
+            @pl.when(pos == BGRP - 1)
+            def _():
+                pltpu.make_async_copy(
+                    scratch.at[buf],
+                    w_hbm.at[pl.ds(slot - (BGRP - 1), BGRP)],
+                    sem.at[buf],
+                ).start()
+
+        def window_work(a, lo0, hi1, carry):
+            """One 128-cand double window masking columns [lo0, hi1)."""
             slot, attempted, acc = carry
-            cand = sc_ref[pl.ds(a, TILE), :]  # (64, F)
+            cand = sc_ref[pl.ds(a, W2), :]  # (128, F)
             cx = cand[:, 0:1]
             cy = cand[:, 1:2]
             ch = cand[:, 2:3]
             cm = cand[:, 3:4]
-            cd = dflat_ref[pl.ds(a, TILE), :]  # (64, 3)
+            cd = dflat_ref[pl.ds(a, W2), :]  # (128, 3)
             c_rho = cd[:, 0:1]
             c_vx = cd[:, 1:2]
             c_vy = cd[:, 2:3]
-            col = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) + a
+            col = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0) + a
             h_ij = jnp.maximum(0.5 * (qh + ch), 1e-6)
-            dx = qx - cx  # (64, TQ)
+            dx = qx - cx  # (128, TQ)
             dy = qy - cy
             r2 = dx * dx + dy * dy
             rad = jnp.float32(scale) * h_ij
             valid = (
-                (col >= lo_k) & (col < hi_k) & (r2 < rad * rad) & (ch > 0.0) & qvalid
+                (col >= lo0) & (col < hi1) & (r2 < rad * rad) & (ch > 0.0) & qvalid
             )
             g = jnp.where(valid, cm * _gmag(r2, h_ij), 0.0)
             wx = g * dx
             wy = g * dy
-            nonempty = jnp.any(valid)
-            emit = nonempty & (slot < b_max)
+            ne0 = jnp.any(valid[0:TILE])
+            ne1 = jnp.any(valid[TILE:W2])
+            emit0 = ne0 & (slot < b_max)
+            slot1 = slot + emit0.astype(jnp.int32)
+            emit1 = ne1 & (slot1 < b_max)
 
-            @pl.when(emit)
+            @pl.when(emit0)
             def _():
-                buf = jnp.mod(slot, 2)
+                emit_half(slot, wx[0:TILE], wy[0:TILE], a)
 
-                @pl.when(slot >= 2)
-                def _():
-                    pltpu.make_async_copy(
-                        scratch.at[buf], w_hbm.at[jnp.maximum(slot - 2, 0)], sem.at[buf]
-                    ).wait()
-
-                half = _lane_width(TQ) // 2
-                scratch[buf, :, 0:TQ] = wx.astype(scratch.dtype)
-                scratch[buf, :, half:half + TQ] = wy.astype(scratch.dtype)
-                pltpu.make_async_copy(
-                    scratch.at[buf], w_hbm.at[slot], sem.at[buf]
-                ).start()
-                meta_ref[slot] = (t << META_SHIFT) + a
+            @pl.when(emit1)
+            def _():
+                emit_half(slot1, wx[TILE:W2], wy[TILE:W2], a + TILE)
 
             inv_m = 1.0 / jnp.maximum(cm, rest_eps)
             inv_rho = 1.0 / jnp.maximum(c_rho, rest_eps)
@@ -481,8 +513,9 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                     row8 == k, jnp.sum(term, axis=0, keepdims=True), contrib)
             acc = acc + contrib
 
-            return (slot + emit.astype(jnp.int32),
-                    attempted + nonempty.astype(jnp.int32), acc)
+            return (slot1 + emit1.astype(jnp.int32),
+                    attempted + ne0.astype(jnp.int32) + ne1.astype(jnp.int32),
+                    acc)
 
         def level_block(li, carry):
             mbase = (t * NL + li) * WM_STRIDE
@@ -492,15 +525,19 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
                 lo = starts_ref[wmeta_ref[mbase + 1 + 2 * r]]
                 hi = starts_ref[wmeta_ref[mbase + 2 + 2 * r]]
                 a0 = (lo // 8) * 8
-                nwin = jnp.where(hi > lo, (hi - a0 + TILE - 1) // TILE, 0)
+                npair = jnp.where(hi > lo, (hi - a0 + W2 - 1) // W2, 0)
 
                 def win_body(k, carry):
-                    a = jnp.minimum(a0 + k * TILE, C - TILE)
-                    lo_k = jnp.maximum(a0 + k * TILE, lo)
-                    hi_k = jnp.minimum(hi, a0 + (k + 1) * TILE)
-                    return window_work(a, lo_k, hi_k, carry)
+                    base = a0 + k * W2
+                    a = jnp.minimum(base, C - W2)
+                    # per-half ranges [max(base,lo), min(hi,base+64)) and
+                    # [max(base+64,lo), min(hi,base+128)) are adjacent or
+                    # degenerate; their union is exactly [lo0, hi1)
+                    lo0 = jnp.maximum(base, lo)
+                    hi1 = jnp.minimum(hi, base + W2)
+                    return window_work(a, lo0, hi1, carry)
 
-                return jax.lax.fori_loop(0, nwin, win_body, carry, unroll=False)
+                return jax.lax.fori_loop(0, npair, win_body, carry, unroll=False)
 
             return jax.lax.fori_loop(0, cnt, range_body, carry, unroll=False)
 
@@ -515,18 +552,35 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
         0, NT, tile_body, (jnp.int32(0), jnp.int32(0)), unroll=False
     )
 
-    @pl.when(slot >= 1)
+    # flush the partial final group (trailing positions hold garbage from the
+    # previous group in this buffer, but only at slot indices >= cnt)
+    rem = jnp.mod(slot, BGRP)
+
+    @pl.when((rem > 0) & (slot < b_max))
+    def _():
+        buf = jnp.mod(slot // BGRP, 2)
+        pltpu.make_async_copy(
+            scratch.at[buf], w_hbm.at[pl.ds(slot - rem, BGRP)], sem.at[buf]
+        ).start()
+
+    # drain: every group DMA not yet waited on (the reuse waits covered all
+    # groups except the last two started)
+    ng = (jnp.minimum(slot, b_max) + BGRP - 1) // BGRP
+
+    @pl.when(ng >= 1)
     def _():
         pltpu.make_async_copy(
-            scratch.at[jnp.mod(slot - 1, 2)], w_hbm.at[slot - 1],
-            sem.at[jnp.mod(slot - 1, 2)],
+            scratch.at[jnp.mod(ng - 1, 2)],
+            w_hbm.at[pl.ds((ng - 1) * BGRP, BGRP)],
+            sem.at[jnp.mod(ng - 1, 2)],
         ).wait()
 
-    @pl.when(slot >= 2)
+    @pl.when(ng >= 2)
     def _():
         pltpu.make_async_copy(
-            scratch.at[jnp.mod(slot - 2, 2)], w_hbm.at[slot - 2],
-            sem.at[jnp.mod(slot - 2, 2)],
+            scratch.at[jnp.mod(ng - 2, 2)],
+            w_hbm.at[pl.ds((ng - 2) * BGRP, BGRP)],
+            sem.at[jnp.mod(ng - 2, 2)],
         ).wait()
 
     cnt_ref[0] = slot
@@ -546,7 +600,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     want_s2=False skips the rho_j-weighted sum channels (rows 3-5 return 0) —
     they only feed the Winchenbach2020 discretization.
     """
-    assert b_max % GRP == 0
+    assert b_max % GRP == 0 and b_max % BGRP == 0
     assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
     TQ = cfg.tq
     NT = cfg.capacity // TQ
@@ -577,7 +631,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE, _lane_width(TQ)), wdtype),
+            pltpu.VMEM((2, BGRP, TILE, _lane_width(TQ)), wdtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -17,14 +17,21 @@ if (
     and not os.environ.get("ASPH_TEST_ALLOW_TPU")
     and not os.environ.get("_ASPH_CONFTEST_REEXEC")
 ):
-    # NOTE: re-exec even if sitecustomize already imported jax — execve
-    # replaces the process, so a tainted sys.modules doesn't matter.
+    # NOTE: re-run even if sitecustomize already imported jax — the child is a
+    # fresh interpreter, so a tainted sys.modules here doesn't matter. This
+    # uses fork+exec (subprocess) rather than os.execve: some sandboxed shells
+    # silently swallow the output of a process that replaces itself with
+    # execve, which made the whole suite look like it "passed" with no output.
+    import subprocess
+
     _env = dict(os.environ)
     _env["PYTHONPATH"] = ":".join(
         p for p in _env.get("PYTHONPATH", "").split(":") if p and p != _AXON_SITE
     )
     _env["_ASPH_CONFTEST_REEXEC"] = "1"
-    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], _env)
+    raise SystemExit(subprocess.call(
+        [sys.executable, "-m", "pytest", *sys.argv[1:]], env=_env
+    ))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
