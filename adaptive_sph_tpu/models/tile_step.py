@@ -266,17 +266,6 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                      params.cfl_factor * jnp.sqrt(pmin(jnp.min(val))))
     diag["dt"] = dt
 
-    # 10. density (simulation.rs:2204); ghost rows refreshed from their owners
-    rho_s = sweep(tp.DENSITY_OP, None, pscale)[:, 0] + bdens_s
-    rho_s = refresh(jnp.where(alive_s, rho_s, 1.0)[:, None])[:, 0]
-
-    # 11. constant field diagnostic (simulation.rs:2235-2248); viz-only, gated
-    cf_s = None
-    if params.force_diagnostic_fields:
-        cf_s = sweep(tp.constant_field_op(), _stack(rho_s), pscale)[:, 0] + (
-            bdens_s / params.rest_density
-        )
-
     # 12 + first non-pressure kick: fused prep sweep (a_ii sums + viscosity)
     method = params.pressure_solver_method
     first_np_at_start = (
@@ -296,67 +285,109 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             ay = ay + dy * inv
         return ax, ay
 
-    sf_like = {"rho": rho_s, "mass": mass_s, "h": h_s}
-
     # The weight-cache entries w_ij = m_j grad W_ij are exactly the integrand of
     # the a_ii fluid sums, so when the cache is on, ONE fused kernel walk
     # (ops/pallas_matvec.py build_weight_cache_prep) produces the weight blocks,
     # the four a_ii sums, AND the first-kick viscosity in a single pass.
+    # In MEGA mode (non-Winchenbach2020 discretizations) that walk additionally
+    # computes the DENSITY fluid sum (simulation.rs:1007-1028) and defers the
+    # viscosity's 1/(rho_i + rho_j) factor to a once-per-step block stream
+    # (visc_matvec), so the step has exactly ONE pair walk.
     import os as _os
 
     use_wcache = _os.environ.get("ASPH_NO_WCACHE", "0") != "1"
     wcache = wmeta_blocks = wcnt = None
     from ..utils.params import ViscosityType as _VT
 
-    if use_wcache:
-        from ..ops.pallas_matvec import build_weight_cache_prep
+    if first_np_at_start and params.viscosity_type == _VT.WCSPH:
+        vm = "wcsph"
+    elif first_np_at_start and params.viscosity_type == _VT.ApproxLaplace:
+        vm = "laplace"
+    else:
+        vm = "none"
+    # the rho_j-weighted s2 sums only feed the Winchenbach2020
+    # discretization (assemble_aii_1d / div_fn) and the resident kernel's
+    # table — skip their three per-window reduces otherwise
+    need_s2 = (
+        params.operator_discretization == OperatorDiscretization.Winchenbach2020
+        or params.resident_solver
+        or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1"
+    )
+    mega = use_wcache and not need_s2
+    wdtype = jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32
+    rho_s = cf_s = None
+    if mega:
+        from ..ops.pallas_matvec import build_weight_cache_prep, visc_matvec
 
-        if first_np_at_start and params.viscosity_type == _VT.WCSPH:
-            vm = "wcsph"
-        elif first_np_at_start and params.viscosity_type == _VT.ApproxLaplace:
-            vm = "laplace"
+        visc_stream = vm != "none" and float(params.viscosity) != 0.0
+        outs = build_weight_cache_prep(
+            tcfg, bins, st, _stack(vx_s, vy_s), pscale, tcfg.b_max,
+            vm if visc_stream else "none", params.viscosity,
+            wmeta=wm, wdtype=wdtype, want_s2=False,
+            fuse_density=True, visc_stream=visc_stream,
+        )
+        if visc_stream:
+            wcache, vcache, wmeta_blocks, wcnt, res = outs
         else:
-            vm = "none"
-        dyn3 = _stack(rho_s, vx_s, vy_s)
-        # the rho_j-weighted s2 sums only feed the Winchenbach2020
-        # discretization (assemble_aii_1d / div_fn) and the resident kernel's
-        # table — skip their three per-window reduces otherwise
-        need_s2 = (
-            params.operator_discretization == OperatorDiscretization.Winchenbach2020
-            or params.resident_solver
-            or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1"
-        )
-        wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
-            tcfg, bins, st, dyn3, pscale, tcfg.b_max, vm, params.viscosity,
-            wmeta=wm,
-            wdtype=jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32,
-            want_s2=need_s2,
-        )
+            wcache, wmeta_blocks, wcnt, res = outs
+            vcache = None
         diag["wcache_overflow"] = psum(wcnt[1])
 
-        # the fused builder emits prep channel-major (NT, 8, TQ): channel k
-        # unpacks as a flat (C,) with ZERO relayout
         def pch(k):
             return res[:, k, :].reshape(-1)
-    elif first_np_at_start:
-        res = sweep(tp.prep_op(params), _stack(rho_s, vx_s, vy_s), pscale)
 
-        def pch(k):
-            return res[:, k]
+        # 10. density (simulation.rs:2204) straight from the walk's row 3;
+        # ghost rows refreshed from their owners
+        rho_s = pch(3) + bdens_s
+        rho_s = refresh(jnp.where(alive_s, rho_s, 1.0)[:, None])[:, 0]
+        s2x = s2y = s2sq = jnp.zeros_like(rho_s)  # row 3 is density here
+        visc_x = visc_y = jnp.zeros_like(rho_s)
+        if visc_stream:
+            visc_x, visc_y = visc_matvec(vcache, wmeta_blocks, wcnt, rho_s,
+                                         tcfg.tq)
     else:
-        res = sweep(tp.aii_sums_op(), _stack(rho_s), pscale)
+        # 10. density (simulation.rs:2204)
+        rho_s = sweep(tp.DENSITY_OP, None, pscale)[:, 0] + bdens_s
+        rho_s = refresh(jnp.where(alive_s, rho_s, 1.0)[:, None])[:, 0]
+        if use_wcache:
+            from ..ops.pallas_matvec import build_weight_cache_prep
 
-        def pch(k):
-            return res[:, k] if k < res.shape[1] else jnp.zeros_like(rho_s)
+            wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
+                tcfg, bins, st, _stack(rho_s, vx_s, vy_s), pscale, tcfg.b_max,
+                vm, params.viscosity, wmeta=wm, wdtype=wdtype, want_s2=need_s2,
+            )
+            diag["wcache_overflow"] = psum(wcnt[1])
 
+            def pch(k):
+                return res[:, k, :].reshape(-1)
+        elif first_np_at_start:
+            res = sweep(tp.prep_op(params), _stack(rho_s, vx_s, vy_s), pscale)
+
+            def pch(k):
+                return res[:, k]
+        else:
+            res = sweep(tp.aii_sums_op(), _stack(rho_s), pscale)
+
+            def pch(k):
+                return res[:, k] if k < res.shape[1] else jnp.zeros_like(rho_s)
+
+        s2x, s2y, s2sq = pch(3), pch(4), pch(5)
+        visc_x, visc_y = pch(6), pch(7)
+
+    # 11. constant field diagnostic (simulation.rs:2235-2248); viz-only, gated
+    if params.force_diagnostic_fields:
+        cf_s = sweep(tp.constant_field_op(), _stack(rho_s), pscale)[:, 0] + (
+            bdens_s / params.rest_density
+        )
+
+    sf_like = {"rho": rho_s, "mass": mass_s, "h": h_s}
     # a_ii sums as channel-split 1-D slices (s1 = sum m_j gradW_ij, s2 = the
     # rho_j-weighted variant, *sq their squared-norm sums)
     s1x, s1y, s1sq = pch(0), pch(1), pch(2)
-    s2x, s2y, s2sq = pch(3), pch(4), pch(5)
     aii_s = gp.assemble_aii_1d(s1x, s1y, s1sq, s2x, s2y, s2sq, sf_like,
                                Gx_s, Gy_s, bt.kind, params)
     if first_np_at_start:
-        ax0, ay0 = finish_nonpressure(pch(6), pch(7))
+        ax0, ay0 = finish_nonpressure(visc_x, visc_y)
         first_np_vel = (vx_s + dt * ax0, vy_s + dt * ay0)
     else:
         first_np_vel = None

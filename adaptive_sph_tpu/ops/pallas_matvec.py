@@ -61,6 +61,16 @@ def _gmag(r2, h_ij):
     return jnp.where(q > 1.0e-5, mag / r, 0.0)
 
 
+def _w_and_gmag(r2, h_ij):
+    """Kernel value W and gradient magnitude factor, sharing norm/q terms."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+    q = r / (2.0 * h_ij)
+    norm = kernels.kernel_norm_factor(h_ij, 2)
+    w = norm * kernels.cubic_kernel_unnormalized(q)
+    mag = norm * kernels.cubic_kernel_unnormalized_deriv(q) / (2.0 * h_ij)
+    return w, jnp.where(q > 1.0e-5, mag / r, 0.0)
+
+
 def _build_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, w_hbm, meta_ref,
                   cnt_ref, scratch, sem, *, cfg: TileConfig, scale: float, b_max: int):
     TQ = cfg.tq
@@ -363,10 +373,117 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
 BGRP = 8  # builder emission group: blocks per DMA (must divide b_max)
 
 
+def _visc_kernel(cnt_ref, meta_ref, w_hbm, rf_ref, rl_ref, out_ref, scratch, sem,
+                 *, tq: int):
+    """Stream the rho-free viscosity blocks [sx | sy]; per pair the deferred
+    1/(rho_i + rho_j) factor is applied in-kernel: rho_j arrives as a dynamic
+    sublane slice of the flat sorted table (rf_ref, (C, 1)) and rho_i as the
+    query tile's lane-major row (rl_ref, (NT, TQ)). out = (sum sx/(ri+rj),
+    sum sy/(ri+rj)) per query — the ApproxLaplace / WCSPH viscosity fluid sums
+    (simulation.rs:941-989) with f32 a*(1/b) in place of a/b."""
+    B = cnt_ref[0]
+    NG = (B + GRP - 1) // GRP
+    out_ref[:] = jnp.zeros_like(out_ref)
+    half = _lane_width(tq) // 2
+
+    def get_dma(buf, grp):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(grp * GRP, GRP)], scratch.at[buf], sem.at[buf]
+        )
+
+    for k in range(NBUF - 1):
+        @pl.when(k < NG)
+        def _(k=k):
+            get_dma(k, k).start()
+
+    acc0 = jnp.zeros((8, tq), jnp.float32)
+
+    def body(grp, carry):
+        acc, cur_qt = carry
+        buf = jnp.mod(grp, NBUF)
+
+        @pl.when(grp + NBUF - 1 < NG)
+        def _():
+            get_dma(jnp.mod(grp + NBUF - 1, NBUF), grp + NBUF - 1).start()
+
+        get_dma(buf, grp).wait()
+        for g in range(GRP):
+            e = grp * GRP + g
+            e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
+            valid = e < B
+            me = meta_ref[e_safe]
+            qt_e = me >> META_SHIFT
+            an_e = me & ((1 << META_SHIFT) - 1)
+            switch = qt_e != cur_qt
+            acc = jnp.where(switch, 0.0, acc)
+            cur_qt = qt_e
+
+            w = scratch[buf, g]  # (64, LW) = [sx | pad | sy | pad]
+            if w.dtype != jnp.float32:
+                w = w.astype(jnp.float32)
+            rj = rf_ref[pl.ds(an_e, TILE), :]   # (64, 1)
+            ri = rl_ref[pl.ds(qt_e, 1), :]      # (1, tq)
+            inv = 1.0 / jnp.maximum(rj + ri, 1e-30)
+            ax = jnp.sum(w[:, 0:tq] * inv, axis=0, keepdims=True)
+            ay = jnp.sum(w[:, half:half + tq] * inv, axis=0, keepdims=True)
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
+            contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
+            acc = acc + jnp.where(valid, contrib, 0.0)
+            out_ref[cur_qt] = acc
+
+        return acc, cur_qt
+
+    @pl.when(B > 0)
+    def _():
+        jax.lax.fori_loop(0, NG, body, (acc0, meta_ref[0] >> META_SHIFT),
+                          unroll=False)
+
+
+def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None):
+    """Viscosity acceleration from the builder's rho-free pair blocks.
+
+    rho_sorted: flat (C,) densities in SORTED order. Returns channel-split
+    (vx (C,), vy (C,)) viscosity accelerations (fluid part; no boundary term,
+    like the reference's viscosity)."""
+    C = rho_sorted.shape[0]
+    NT = C // tq
+    if interpret is None:
+        interpret = default_interpret()
+    rf = rho_sorted[:, None]
+    rl = rho_sorted.reshape(NT, tq)
+
+    kern = functools.partial(_visc_kernel, tq=tq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # visc blocks in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rho flat (C, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rho lane-major (NT, TQ)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GRP, TILE, _lane_width(tq)), vweights.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT, 8, tq), jnp.float32),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
+        ),
+    )(cnt, meta, vweights, rf, rl)
+    return out[:, 0, :].reshape(C), out[:, 1, :].reshape(C)
+
+
 def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
-                       w_hbm, meta_ref, cnt_ref, prep_ref, scratch, sem, *,
+                       *refs,
                        cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
                        viscosity: float, want_s2: bool = True,
+                       fuse_density: bool = False, visc_stream: bool = False,
                        rest_eps: float = 1e-30):
     """Fused per-step pass: weight-cache build + the prep sums in ONE window walk.
 
@@ -384,7 +501,24 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
     block, so DMA issue/wait overhead drops 8x and the stores stay
     branch-light. Trailing positions of a partial final group carry garbage
     but live at slot indices >= cnt, which no matvec ever reads.
+
+    v6 "mega" mode (fuse_density / visc_stream): the fast path's ONLY pair
+    walk. fuse_density adds the density fluid sum (row 3 = sum m_j W_ij,
+    simulation.rs:1007-1028) so the separate density sweep disappears;
+    visc_stream emits a SECOND block set [sx | sy] holding the rho-free
+    viscosity pair factors (simulation.rs:941-989 with the 1/(rho_i + rho_j)
+    factor deferred), consumed once per step by visc_matvec AFTER the density
+    assembles — this breaks the density -> viscosity ordering that forced two
+    separate walks. dyn layout: [velx, vely] (mega) vs [rho, velx, vely].
     """
+    if visc_stream:
+        w_hbm, v_hbm, meta_ref, cnt_ref, prep_ref, scratch, vscratch, sem = refs
+    else:
+        w_hbm, meta_ref, cnt_ref, prep_ref, scratch, sem = refs
+        v_hbm = vscratch = None
+    if fuse_density:
+        assert not want_s2, "mega mode has no rho at build time"
+    assert not visc_stream or visc_mode != "none"
     TQ = cfg.tq
     NL = len(cfg.populated)
     C = cfg.capacity
@@ -398,37 +532,53 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
         qy = qs[1:2, :]
         qh = qs[2:3, :]
         qvalid = qh > 0.0
-        qd = dq_ref[t]  # (3, TQ): rho, velx, vely
-        q_rho = qd[0:1, :]
-        q_vx = qd[1:2, :]
-        q_vy = qd[2:3, :]
+        qd = dq_ref[t]  # mega: (2, TQ) velx/vely; classic: (3, TQ) rho/velx/vely
+        if fuse_density:
+            q_rho = None
+            q_vx = qd[0:1, :]
+            q_vy = qd[1:2, :]
+        else:
+            q_rho = qd[0:1, :]
+            q_vx = qd[1:2, :]
+            q_vy = qd[2:3, :]
 
         acc0 = jnp.zeros((8, TQ), jnp.float32)
 
-        def emit_half(slot, wx_h, wy_h, a_h):
+        def emit_half(slot, wx_h, wy_h, a_h, sx_h=None, sy_h=None):
             """Stage one 64-cand block in the group ring; flush on wrap."""
             buf = jnp.mod(slot // BGRP, 2)
             pos = jnp.mod(slot, BGRP)
 
             @pl.when((pos == 0) & (slot >= 2 * BGRP))
-            def _():  # buffer reuse: drain the DMA issued 2 groups ago
+            def _():  # buffer reuse: drain the DMAs issued 2 groups ago
+                src = jnp.maximum(slot - 2 * BGRP, 0)
                 pltpu.make_async_copy(
-                    scratch.at[buf],
-                    w_hbm.at[pl.ds(jnp.maximum(slot - 2 * BGRP, 0), BGRP)],
-                    sem.at[buf],
+                    scratch.at[buf], w_hbm.at[pl.ds(src, BGRP)], sem.at[buf, 0]
                 ).wait()
+                if visc_stream:
+                    pltpu.make_async_copy(
+                        vscratch.at[buf], v_hbm.at[pl.ds(src, BGRP)],
+                        sem.at[buf, 1],
+                    ).wait()
 
             scratch[buf, pos, :, 0:TQ] = wx_h.astype(scratch.dtype)
             scratch[buf, pos, :, half:half + TQ] = wy_h.astype(scratch.dtype)
+            if visc_stream:
+                vscratch[buf, pos, :, 0:TQ] = sx_h.astype(vscratch.dtype)
+                vscratch[buf, pos, :, half:half + TQ] = sy_h.astype(vscratch.dtype)
             meta_ref[slot] = (t << META_SHIFT) + a_h
 
             @pl.when(pos == BGRP - 1)
             def _():
+                dst = slot - (BGRP - 1)
                 pltpu.make_async_copy(
-                    scratch.at[buf],
-                    w_hbm.at[pl.ds(slot - (BGRP - 1), BGRP)],
-                    sem.at[buf],
+                    scratch.at[buf], w_hbm.at[pl.ds(dst, BGRP)], sem.at[buf, 0]
                 ).start()
+                if visc_stream:
+                    pltpu.make_async_copy(
+                        vscratch.at[buf], v_hbm.at[pl.ds(dst, BGRP)],
+                        sem.at[buf, 1],
+                    ).start()
 
         def window_work(a, lo0, hi1, carry):
             """One 128-cand double window masking columns [lo0, hi1)."""
@@ -438,10 +588,15 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
             cy = cand[:, 1:2]
             ch = cand[:, 2:3]
             cm = cand[:, 3:4]
-            cd = dflat_ref[pl.ds(a, W2), :]  # (128, 3)
-            c_rho = cd[:, 0:1]
-            c_vx = cd[:, 1:2]
-            c_vy = cd[:, 2:3]
+            cd = dflat_ref[pl.ds(a, W2), :]
+            if fuse_density:
+                c_rho = None
+                c_vx = cd[:, 0:1]
+                c_vy = cd[:, 1:2]
+            else:
+                c_rho = cd[:, 0:1]
+                c_vx = cd[:, 1:2]
+                c_vy = cd[:, 2:3]
             col = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0) + a
             h_ij = jnp.maximum(0.5 * (qh + ch), 1e-6)
             dx = qx - cx  # (128, TQ)
@@ -451,47 +606,75 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
             valid = (
                 (col >= lo0) & (col < hi1) & (r2 < rad * rad) & (ch > 0.0) & qvalid
             )
-            g = jnp.where(valid, cm * _gmag(r2, h_ij), 0.0)
+            if fuse_density:
+                w_val, gmag = _w_and_gmag(r2, h_ij)
+                den = jnp.where(valid, cm * w_val, 0.0)
+                g = jnp.where(valid, cm * gmag, 0.0)
+            else:
+                den = None
+                g = jnp.where(valid, cm * _gmag(r2, h_ij), 0.0)
             wx = g * dx
             wy = g * dy
+            if visc_mode != "none":
+                dvx = q_vx - c_vx
+                dvy = q_vy - c_vy
+                dot = dx * dvx + dy * dvy
+                if visc_stream:
+                    # rho-free viscosity pair factor B: downstream accel is
+                    # sum_j (B * w)_ij / (rho_i + rho_j) (visc_matvec). The
+                    # reference's /max((rho_i+rho_j)/2, eps) == 2/(rho_i+rho_j)
+                    # bit-exactly (both scalings are exact powers of two).
+                    if visc_mode == "wcsph":
+                        B = (2.0 * jnp.float32(viscosity) * 88.0 * h_ij * dot
+                             / (r2 + 0.001 * h_ij * h_ij))
+                    else:  # ApproxLaplace
+                        B = (2.0 * jnp.float32(viscosity)
+                             * (2.0 * (D2 + 2)) * dot
+                             / (r2 + 0.01 * h_ij * h_ij))
+                    B = jnp.where(dot < 0.0, B, 0.0)
+                    sx_t = B * wx
+                    sy_t = B * wy
+                else:
+                    if visc_mode == "wcsph":
+                        vt = (
+                            2.0 * jnp.float32(viscosity) * h_ij * 88.0
+                            / jnp.maximum(q_rho + c_rho, rest_eps)
+                        )
+                        pi_ab = -vt * dot / (r2 + 0.001 * h_ij * h_ij)
+                        coef = -pi_ab  # times m_j, folded in via wx/wy below
+                    else:  # ApproxLaplace
+                        rho_ij = jnp.maximum((q_rho + c_rho) * 0.5, rest_eps)
+                        coef = (
+                            jnp.float32(viscosity)
+                            * (2.0 * (D2 + 2) * dot
+                               / (r2 + 0.01 * h_ij * h_ij) / rho_ij)
+                        )
+                    coef = jnp.where(dot < 0.0, coef, 0.0)
+                    # visc pair term = coef * m_j * gmag * d = coef * w
+                    vx_t = coef * wx
+                    vy_t = coef * wy
             ne0 = jnp.any(valid[0:TILE])
             ne1 = jnp.any(valid[TILE:W2])
             emit0 = ne0 & (slot < b_max)
             slot1 = slot + emit0.astype(jnp.int32)
             emit1 = ne1 & (slot1 < b_max)
 
+            if visc_stream:
+                sx0, sx1 = sx_t[0:TILE], sx_t[TILE:W2]
+                sy0, sy1 = sy_t[0:TILE], sy_t[TILE:W2]
+            else:
+                sx0 = sx1 = sy0 = sy1 = None
+
             @pl.when(emit0)
             def _():
-                emit_half(slot, wx[0:TILE], wy[0:TILE], a)
+                emit_half(slot, wx[0:TILE], wy[0:TILE], a, sx0, sy0)
 
             @pl.when(emit1)
             def _():
-                emit_half(slot1, wx[TILE:W2], wy[TILE:W2], a + TILE)
+                emit_half(slot1, wx[TILE:W2], wy[TILE:W2], a + TILE, sx1, sy1)
 
             inv_m = 1.0 / jnp.maximum(cm, rest_eps)
-            inv_rho = 1.0 / jnp.maximum(c_rho, rest_eps)
             t2 = (wx * wx + wy * wy) * inv_m
-            if visc_mode != "none":
-                dvx = q_vx - c_vx
-                dvy = q_vy - c_vy
-                dot = dx * dvx + dy * dvy
-                if visc_mode == "wcsph":
-                    vt = (
-                        2.0 * jnp.float32(viscosity) * h_ij * 88.0
-                        / jnp.maximum(q_rho + c_rho, rest_eps)
-                    )
-                    pi_ab = -vt * dot / (r2 + 0.001 * h_ij * h_ij)
-                    coef = -pi_ab  # times m_j, folded into wx/wy below via inv_m
-                else:  # ApproxLaplace
-                    rho_ij = jnp.maximum((q_rho + c_rho) * 0.5, rest_eps)
-                    coef = (
-                        jnp.float32(viscosity)
-                        * (2.0 * (D2 + 2) * dot / (r2 + 0.01 * h_ij * h_ij) / rho_ij)
-                    )
-                coef = jnp.where(dot < 0.0, coef, 0.0)
-                # visc pair term = coef * m_j * gmag * d = coef * w
-                vx_t = coef * wx
-                vy_t = coef * wy
             # channels on SUBLANES: acc (8, TQ), row k = channel k — the caller
             # then unpacks each channel as out[:, k, :].reshape(C) with ZERO
             # relayout (the old (1, 8*TQ) lane-major form cost a swapaxes
@@ -501,10 +684,13 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
             # feed the Winchenbach2020 discretization's aii/divergence, and the
             # viscosity pair terms only exist for a viscous first kick.
             terms = [(0, wx), (1, wy), (2, t2)]
+            if fuse_density:
+                terms += [(3, den)]
             if want_s2:
+                inv_rho = 1.0 / jnp.maximum(c_rho, rest_eps)
                 terms += [(3, wx * inv_rho), (4, wy * inv_rho),
                           (5, t2 * inv_rho)]
-            if visc_mode != "none":
+            if visc_mode != "none" and not visc_stream:
                 terms += [(6, vx_t), (7, vy_t)]
             row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TQ), 0)
             contrib = jnp.zeros((8, TQ), jnp.float32)
@@ -560,28 +746,36 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
     def _():
         buf = jnp.mod(slot // BGRP, 2)
         pltpu.make_async_copy(
-            scratch.at[buf], w_hbm.at[pl.ds(slot - rem, BGRP)], sem.at[buf]
+            scratch.at[buf], w_hbm.at[pl.ds(slot - rem, BGRP)], sem.at[buf, 0]
         ).start()
+        if visc_stream:
+            pltpu.make_async_copy(
+                vscratch.at[buf], v_hbm.at[pl.ds(slot - rem, BGRP)],
+                sem.at[buf, 1],
+            ).start()
 
     # drain: every group DMA not yet waited on (the reuse waits covered all
     # groups except the last two started)
     ng = (jnp.minimum(slot, b_max) + BGRP - 1) // BGRP
 
+    def drain(g):
+        buf = jnp.mod(g, 2)
+        pltpu.make_async_copy(
+            scratch.at[buf], w_hbm.at[pl.ds(g * BGRP, BGRP)], sem.at[buf, 0]
+        ).wait()
+        if visc_stream:
+            pltpu.make_async_copy(
+                vscratch.at[buf], v_hbm.at[pl.ds(g * BGRP, BGRP)],
+                sem.at[buf, 1],
+            ).wait()
+
     @pl.when(ng >= 1)
     def _():
-        pltpu.make_async_copy(
-            scratch.at[jnp.mod(ng - 1, 2)],
-            w_hbm.at[pl.ds((ng - 1) * BGRP, BGRP)],
-            sem.at[jnp.mod(ng - 1, 2)],
-        ).wait()
+        drain(ng - 1)
 
     @pl.when(ng >= 2)
     def _():
-        pltpu.make_async_copy(
-            scratch.at[jnp.mod(ng - 2, 2)],
-            w_hbm.at[pl.ds((ng - 2) * BGRP, BGRP)],
-            sem.at[jnp.mod(ng - 2, 2)],
-        ).wait()
+        drain(ng - 2)
 
     cnt_ref[0] = slot
     cnt_ref[1] = attempted - slot
@@ -590,22 +784,28 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
 def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
                             dyn_sorted, scale: float, b_max: int, visc_mode: str,
                             viscosity: float, wmeta=None, interpret=None,
-                            wdtype=jnp.float32, want_s2=True):
-    """Fused builder: returns (weights, (qt, anchor), cnt, prep (C, 8)).
+                            wdtype=jnp.float32, want_s2=True,
+                            fuse_density=False, visc_stream=False):
+    """Fused builder: returns (weights, (qt, anchor), cnt, prep (NT, 8, TQ))
+    — plus the viscosity block set after `weights` when visc_stream is on.
 
-    dyn_sorted: (C, 3) sorted [rho, velx, vely]. prep columns match
+    dyn_sorted: (C, 3) sorted [rho, velx, vely] — or (C, 2) [velx, vely] in
+    mega mode (fuse_density), where rho does not exist yet. prep columns match
     tile_physics.prep_op; visc_mode in {"none", "wcsph", "laplace"}.
     wdtype: weight-block storage dtype (params.weight_cache_bf16 passes
     bfloat16 — halves the per-iteration HBM stream; the prep sums stay f32).
     want_s2=False skips the rho_j-weighted sum channels (rows 3-5 return 0) —
     they only feed the Winchenbach2020 discretization.
+    fuse_density: prep row 3 = the density fluid sum (mega mode; excludes
+    want_s2). visc_stream: viscosity leaves the walk as rho-free pair blocks
+    (consumed by visc_matvec); prep rows 6-7 stay zero.
     """
     assert b_max % GRP == 0 and b_max % BGRP == 0
     assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
     TQ = cfg.tq
     NT = cfg.capacity // TQ
     sq = jnp.swapaxes(to_chunks(statics_sorted, TQ), 1, 2)  # (NT, F, TQ)
-    dq = jnp.swapaxes(to_chunks(dyn_sorted, TQ), 1, 2)  # (NT, 3, TQ)
+    dq = jnp.swapaxes(to_chunks(dyn_sorted, TQ), 1, 2)  # (NT, 2|3, TQ)
     if wmeta is None:
         wmeta = window_meta(cfg, bins, statics_sorted)
     if interpret is None:
@@ -614,7 +814,27 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     kern = functools.partial(
         _build_prep_kernel, cfg=cfg, scale=float(scale), b_max=b_max,
         visc_mode=visc_mode, viscosity=float(viscosity), want_s2=bool(want_s2),
+        fuse_density=bool(fuse_density), visc_stream=bool(visc_stream),
     )
+    block_sd = jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), wdtype)
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [block_sd]
+    scratch_shapes = [pltpu.VMEM((2, BGRP, TILE, _lane_width(TQ)), wdtype)]
+    if visc_stream:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(block_sd)
+        scratch_shapes.append(pltpu.VMEM((2, BGRP, TILE, _lane_width(TQ)), wdtype))
+    out_specs += [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # packed block meta
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cnt
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((b_max,), jnp.int32),
+        jax.ShapeDtypeStruct((2,), jnp.int32),
+        jax.ShapeDtypeStruct((NT, 8, TQ), jnp.float32),
+    ]
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2, 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -624,26 +844,13 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dq
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dyn flat
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed block meta
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # prep
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, BGRP, TILE, _lane_width(TQ)), wdtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
     )
-    w, meta, cnt, prep = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), wdtype),
-            jax.ShapeDtypeStruct((b_max,), jnp.int32),
-            jax.ShapeDtypeStruct((2,), jnp.int32),
-            jax.ShapeDtypeStruct((NT, 8, TQ), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -652,4 +859,4 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
     # (NT, 8, TQ) channel-sublane prep: channel k unpacks as
     # prep[:, k, :].reshape(C) with zero relayout
-    return w, meta, cnt, prep
+    return outs

@@ -303,14 +303,15 @@ GW = 8  # hull-group width (lanes): tiles span multiple cell rows in the packed
         # layout; 8-lane groups keep each hull ~1 row so ranges stay tight
 
 
-def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
+def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
+                  tq=None):
     """Per-tile flat candidate-range descriptors (kernel scalar prefetch).
 
     Returns (wm, collapsed):
       wm: int32 (NT * NL * WM_STRIDE,). Per (tile t, populated-level position
           p), wm[(t*NL+p)*WM_STRIDE:] = [count, a0, b0, a1, b1, ...]: `count`
           CELL-INDEX pairs (a, b); the walk kernels read the contiguous slot
-          range as [starts[a], starts[b]) — one flat range loop, no per-row
+          range as [starts[a], starts[b)) — one flat range loop, no per-row
           geometry or level metadata in the kernel at all.
       collapsed: int32 scalar — (tile, level) entries whose candidate row count
           exceeded RL and were collapsed into ONE spanning pair
@@ -328,8 +329,12 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
     variant measured 2.9 ms/step in XLA-side gathers on v5e; rejected).
 
     origin: optional traced (2,) override of cfg.origin (sharded slabs).
+    tq: query-group width override (default cfg.tq). The half-unit builder
+    passes cfg.tq // 2: ranges per 64-query half are tighter than per full
+    tile (the hull slop is ~group_span + 2*support, so halving the group
+    width cuts the walked-but-invalid area by roughly a third).
     """
-    TQ = cfg.tq
+    TQ = int(tq) if tq else cfg.tq
     NT = cfg.capacity // TQ
     NL = len(cfg.populated)
     gw = min(GW, TQ)
