@@ -411,6 +411,7 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
     return wm, collapsed
 
 
-def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
+def window_meta(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
+                tq=None):
     """Back-compat wrapper: window_ranges without the collapsed diagnostic."""
-    return window_ranges(cfg, bins, statics_sorted, origin=origin)[0]
+    return window_ranges(cfg, bins, statics_sorted, origin=origin, tq=tq)[0]
