@@ -114,11 +114,16 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         col_ix[name] = (a, a + w)
         sort_cols.append(arr.astype(jnp.float32) if arr.dtype != jnp.float32 else arr)
 
+    # column ORDER matters: [pos, h_eff, mass] is the statics table the walk
+    # kernels consume, and keeping "vel" directly after lets the mega builder
+    # take its merged candidate table as ONE contiguous slice allsorted[:, 0:6]
+    # (XLA folds concat-of-adjacent-slices) instead of restacking relayouted
+    # 1-D columns
     add_col("pos", pos)
     add_col("h_eff", h_eff)
     add_col("mass", state.mass)
-    add_col("h_raw", h)
     add_col("vel", state.velocity)
+    add_col("h_raw", h)
     add_col("omega", state.omega)
     add_col("level", state.level)
     add_col("has_level", state.has_level.astype(jnp.float32))
@@ -321,7 +326,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
 
         visc_stream = vm != "none" and float(params.viscosity) != 0.0
         outs = build_weight_cache_prep(
-            tcfg, bins, st, _stack(vx_s, vy_s), pscale, tcfg.b_max,
+            tcfg, bins, st, col("vel"), pscale, tcfg.b_max,
             vm if visc_stream else "none", params.viscosity,
             wmeta=wm, wdtype=wdtype, want_s2=False,
             fuse_density=True, visc_stream=visc_stream,

@@ -252,14 +252,18 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, *rest,
         def _(k=k):
             get_dma(k, k).start()
 
-    # register accumulation, tile-major blocks: every sub-block stores the running
-    # partial for its tile unconditionally; the final store per tile wins.
-    # The accumulator is padded to 8 sublanes (Mosaic dynamic-index stores of
-    # sub-8-sublane tiles miscompile).
+    # register accumulation, tile-major blocks. The accumulator holds EIGHT
+    # consecutive tiles (one per sublane row) per output channel, flushed with
+    # an unconditional 8-aligned dynamic store every block (the final store
+    # per 8-tile group wins). Output is CHANNEL-MAJOR (k_out, NT, tq): channel
+    # k unpacks as out[k].reshape(C) with a FREE bitcast — the old (NT, 8, tq)
+    # channel-on-sublane layout made out[:, k, :] a strided T(1,128) relayout
+    # that profiled at ~114 us/step inside the solver loop.
     acc0 = jnp.zeros((8, tq), jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
 
     def body(grp, carry):
-        acc, cur_qt = carry
+        accA, accB, cur_g8 = carry
         buf = jnp.mod(grp, NBUF)
 
         @pl.when(grp + NBUF - 1 < NG)
@@ -274,16 +278,17 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, *rest,
             me = meta_ref[e_safe]
             qt_e = me >> META_SHIFT
             an_e = me & ((1 << META_SHIFT) - 1)
-            switch = qt_e != cur_qt
-
-            acc = jnp.where(switch, 0.0, acc)
-            cur_qt = qt_e
+            g8 = qt_e >> 3
+            switch = g8 != cur_g8
+            accA = jnp.where(switch, 0.0, accA)
+            accB = jnp.where(switch, 0.0, accB)
+            cur_g8 = g8
+            rowmask = (row == (qt_e & 7)) & valid
 
             half = _lane_width(tq) // 2
             w = scratch[buf, g]  # (64, LW) = [wx | pad | wy | pad], cands on sublanes
             if w.dtype != jnp.float32:  # bf16-stored blocks compute in f32
                 w = w.astype(jnp.float32)
-            row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
             if k_out == 2:  # k_in == 1: out = [sum wx*u | sum wy*u]
                 # VPU broadcast-multiply + sublane tree-reduce beats the MXU
                 # dot at this shape (measured 70 vs 134 ns/block — the dot's
@@ -293,24 +298,26 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, *rest,
                 prod = w * tv
                 ax = jnp.sum(prod[:, 0:tq], axis=0, keepdims=True)
                 ay = jnp.sum(prod[:, half:half + tq], axis=0, keepdims=True)
-                # sublane placement via iota select — jnp.concatenate along
-                # sublanes inside the unrolled group crashes Mosaic
-                contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
+                accA = accA + jnp.where(rowmask, ax, 0.0)
+                accB = accB + jnp.where(rowmask, ay, 0.0)
             else:  # k_in == 2: sum wx*tx + wy*ty on the VPU from split operands
                 tvx = t_ref[pl.ds(an_e, TILE), :]   # (64, 1)
                 tvy = t2_ref[pl.ds(an_e, TILE), :]  # (64, 1)
                 prod = w[:, 0:tq] * tvx + w[:, half:half + tq] * tvy
                 c0 = jnp.sum(prod, axis=0, keepdims=True)
-                contrib = jnp.where(row == 0, c0, 0.0)
-            acc = acc + jnp.where(valid, contrib, 0.0)
-            out_ref[cur_qt] = acc
+                accA = accA + jnp.where(rowmask, c0, 0.0)
+            base = g8 * 8
+            out_ref[0, pl.ds(base, 8), :] = accA
+            if k_out == 2:
+                out_ref[1, pl.ds(base, 8), :] = accB
 
-        return acc, cur_qt
+        return accA, accB, cur_g8
 
     @pl.when(B > 0)
     def _():
-        jax.lax.fori_loop(0, NG, body, (acc0, meta_ref[0] >> META_SHIFT),
-                          unroll=False)
+        jax.lax.fori_loop(
+            0, NG, body, (acc0, acc0, (meta_ref[0] >> META_SHIFT) >> 3),
+            unroll=False)
 
 
 def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=None):
@@ -318,11 +325,12 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
 
     t_sorted: flat (C, k_in) values in SORTED order. Returns CHANNEL-MAJOR 1-D
     arrays: a (C,) array for k_out=1, a tuple (out_x (C,), out_y (C,)) for
-    k_out=2. The kernel's (NT, ch, TQ) output reshapes to (C,) per channel with
-    ZERO relayout (flat index = tile*TQ + lane), and 1-D f32 arrays tile DENSE
-    on the VPU (T(1024)) — the old interleaved (C, 2) form tiled as (8, 128)
-    with 2/128 lanes used, which made every downstream elementwise fusion run
-    at <2% lane efficiency (profiled at 40-90 us per trivial chain).
+    k_out=2. The kernel's (k_out, NT, TQ) output reshapes to (C,) per channel
+    with a FREE bitcast (channel-major regions are contiguous; T(8,128) over
+    the trailing dims is bit-identical to the flat T(1024) layout), and 1-D
+    f32 arrays tile DENSE on the VPU — the old interleaved (C, 2) form tiled
+    as (8, 128) with 2/128 lanes used, which made every downstream elementwise
+    fusion run at <2% lane efficiency (profiled at 40-90 us per trivial chain).
     """
     if isinstance(t_sorted, tuple):
         # div mode, channel-split: two (C,) operands, no (C, 2) interleave
@@ -358,7 +366,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, 8, tq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_out, NT, tq), jnp.float32),
         interpret=bool(interpret),
         # each flat value table lane-pads (C, 1) to (C, 128) in VMEM
         compiler_params=pltpu.CompilerParams(
@@ -366,8 +374,8 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         ),
     )(cnt, meta, weights, *t_ops)
     if k_out == 1:
-        return out[:, 0, :].reshape(C)
-    return out[:, 0, :].reshape(C), out[:, 1, :].reshape(C)
+        return out[0].reshape(C)
+    return out[0].reshape(C), out[1].reshape(C)
 
 
 BGRP = 8  # builder emission group: blocks per DMA (must divide b_max)
@@ -396,10 +404,13 @@ def _visc_kernel(cnt_ref, meta_ref, w_hbm, rf_ref, rl_ref, out_ref, scratch, sem
         def _(k=k):
             get_dma(k, k).start()
 
+    # 8-tile block accumulators, channel-major (2, NT, tq) output — see
+    # _matvec_kernel for the layout rationale (free-bitcast unpack)
     acc0 = jnp.zeros((8, tq), jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
 
     def body(grp, carry):
-        acc, cur_qt = carry
+        accA, accB, cur_g8 = carry
         buf = jnp.mod(grp, NBUF)
 
         @pl.when(grp + NBUF - 1 < NG)
@@ -414,9 +425,12 @@ def _visc_kernel(cnt_ref, meta_ref, w_hbm, rf_ref, rl_ref, out_ref, scratch, sem
             me = meta_ref[e_safe]
             qt_e = me >> META_SHIFT
             an_e = me & ((1 << META_SHIFT) - 1)
-            switch = qt_e != cur_qt
-            acc = jnp.where(switch, 0.0, acc)
-            cur_qt = qt_e
+            g8 = qt_e >> 3
+            switch = g8 != cur_g8
+            accA = jnp.where(switch, 0.0, accA)
+            accB = jnp.where(switch, 0.0, accB)
+            cur_g8 = g8
+            rowmask = (row == (qt_e & 7)) & valid
 
             w = scratch[buf, g]  # (64, LW) = [sx | pad | sy | pad]
             if w.dtype != jnp.float32:
@@ -426,17 +440,19 @@ def _visc_kernel(cnt_ref, meta_ref, w_hbm, rf_ref, rl_ref, out_ref, scratch, sem
             inv = 1.0 / jnp.maximum(rj + ri, 1e-30)
             ax = jnp.sum(w[:, 0:tq] * inv, axis=0, keepdims=True)
             ay = jnp.sum(w[:, half:half + tq] * inv, axis=0, keepdims=True)
-            row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
-            contrib = jnp.where(row == 0, ax, jnp.where(row == 1, ay, 0.0))
-            acc = acc + jnp.where(valid, contrib, 0.0)
-            out_ref[cur_qt] = acc
+            accA = accA + jnp.where(rowmask, ax, 0.0)
+            accB = accB + jnp.where(rowmask, ay, 0.0)
+            base = g8 * 8
+            out_ref[0, pl.ds(base, 8), :] = accA
+            out_ref[1, pl.ds(base, 8), :] = accB
 
-        return acc, cur_qt
+        return accA, accB, cur_g8
 
     @pl.when(B > 0)
     def _():
-        jax.lax.fori_loop(0, NG, body, (acc0, meta_ref[0] >> META_SHIFT),
-                          unroll=False)
+        jax.lax.fori_loop(
+            0, NG, body, (acc0, acc0, (meta_ref[0] >> META_SHIFT) >> 3),
+            unroll=False)
 
 
 def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None):
@@ -470,21 +486,21 @@ def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None):
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NT, 8, tq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, NT, tq), jnp.float32),
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
         ),
     )(cnt, meta, vweights, rf, rl)
-    return out[:, 0, :].reshape(C), out[:, 1, :].reshape(C)
+    return out[0].reshape(C), out[1].reshape(C)
 
 
-def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
+def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,
                        *refs,
                        cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
                        viscosity: float, want_s2: bool = True,
                        fuse_density: bool = False, visc_stream: bool = False,
-                       rest_eps: float = 1e-30):
+                       fstat: int = 4, rest_eps: float = 1e-30):
     """Fused per-step pass: weight-cache build + the prep sums in ONE window walk.
 
     The weight block entries w = m_j * grad W_ij ARE the integrand of the a_ii
@@ -510,6 +526,12 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
     factor deferred), consumed once per step by visc_matvec AFTER the density
     assembles — this breaks the density -> viscosity ordering that forced two
     separate walks. dyn layout: [velx, vely] (mega) vs [rho, velx, vely].
+
+    The candidate table sc_ref is ONE flat (C, fstat + D) array holding the
+    statics (x, y, h, mass) followed by the dyn columns: Mosaic lane-pads any
+    (C, k<=128) VMEM operand to 128 lanes, so a merged table costs HALF the
+    VMEM of separate statics/dyn tables (the round-4 ~50k-particle/chip
+    ceiling was exactly this padding).
     """
     if visc_stream:
         w_hbm, v_hbm, meta_ref, cnt_ref, prep_ref, scratch, vscratch, sem = refs
@@ -583,20 +605,19 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref, dflat_ref,
         def window_work(a, lo0, hi1, carry):
             """One 128-cand double window masking columns [lo0, hi1)."""
             slot, attempted, acc = carry
-            cand = sc_ref[pl.ds(a, W2), :]  # (128, F)
+            cand = sc_ref[pl.ds(a, W2), :]  # (128, fstat + D)
             cx = cand[:, 0:1]
             cy = cand[:, 1:2]
             ch = cand[:, 2:3]
             cm = cand[:, 3:4]
-            cd = dflat_ref[pl.ds(a, W2), :]
             if fuse_density:
                 c_rho = None
-                c_vx = cd[:, 0:1]
-                c_vy = cd[:, 1:2]
+                c_vx = cand[:, fstat:fstat + 1]
+                c_vy = cand[:, fstat + 1:fstat + 2]
             else:
-                c_rho = cd[:, 0:1]
-                c_vx = cd[:, 1:2]
-                c_vy = cd[:, 2:3]
+                c_rho = cand[:, fstat:fstat + 1]
+                c_vx = cand[:, fstat + 1:fstat + 2]
+                c_vy = cand[:, fstat + 2:fstat + 3]
             col = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0) + a
             h_ij = jnp.maximum(0.5 * (qh + ch), 1e-6)
             dx = qx - cx  # (128, TQ)
@@ -806,6 +827,10 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     NT = cfg.capacity // TQ
     sq = jnp.swapaxes(to_chunks(statics_sorted, TQ), 1, 2)  # (NT, F, TQ)
     dq = jnp.swapaxes(to_chunks(dyn_sorted, TQ), 1, 2)  # (NT, 2|3, TQ)
+    # ONE merged candidate table: (C, k) VMEM operands lane-pad to 128 either
+    # way, so statics + dyn in one array halves the builder's VMEM footprint
+    fstat = statics_sorted.shape[1]
+    flat = jnp.concatenate([statics_sorted, dyn_sorted], axis=1)
     if wmeta is None:
         wmeta = window_meta(cfg, bins, statics_sorted)
     if interpret is None:
@@ -815,6 +840,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         _build_prep_kernel, cfg=cfg, scale=float(scale), b_max=b_max,
         visc_mode=visc_mode, viscosity=float(viscosity), want_s2=bool(want_s2),
         fuse_density=bool(fuse_density), visc_stream=bool(visc_stream),
+        fstat=fstat,
     )
     block_sd = jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), wdtype)
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
@@ -840,9 +866,8 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sq
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sc flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # merged flat cand table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dq
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dyn flat
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
@@ -856,7 +881,7 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
             has_side_effects=True,
             vmem_limit_bytes=(100 * 1024 * 1024 if cfg.capacity > 16384 else None),
         ),
-    )(bins.cell_starts, wmeta, sq, statics_sorted, dq, dyn_sorted)
+    )(bins.cell_starts, wmeta, sq, flat, dq)
     # (NT, 8, TQ) channel-sublane prep: channel k unpacks as
     # prep[:, k, :].reshape(C) with zero relayout
     return outs
