@@ -50,6 +50,19 @@ def _lane_width(tq: int) -> int:
     return max(2 * tq, 128)
 
 
+def _nt_pad(nt: int) -> int:
+    """Matvec output tile rows, padded up to the 8-sublane store granularity.
+
+    The matvec kernels flush their accumulators with unconditional 8-aligned
+    dynamic stores `out_ref[k, pl.ds(g8*8, 8), :]` (the final store per 8-tile
+    group wins); an output with NT not a multiple of 8 (small capacities, e.g.
+    capacity 512 @ tq=128 -> NT=4, the capacity-growth path of
+    splitting.rs:56-58's Vec::extend analogue) would make that store
+    out-of-bounds, so the output is allocated at the padded row count and the
+    wrappers slice the unpack."""
+    return max(8, -(-nt // 8) * 8)
+
+
 def _gmag(r2, h_ij):
     r = jnp.sqrt(jnp.maximum(r2, 1e-30))
     q = r / (2.0 * h_ij)
@@ -348,6 +361,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         else:
             t_ops = [t_sorted]
     NT = C // tq
+    NTP = _nt_pad(NT)  # 8-sublane store granularity (see _nt_pad)
     if interpret is None:
         interpret = default_interpret()
 
@@ -366,7 +380,7 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k_out, NT, tq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_out, NTP, tq), jnp.float32),
         interpret=bool(interpret),
         # each flat value table lane-pads (C, 1) to (C, 128) in VMEM
         compiler_params=pltpu.CompilerParams(
@@ -374,8 +388,8 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
         ),
     )(cnt, meta, weights, *t_ops)
     if k_out == 1:
-        return out[0].reshape(C)
-    return out[0].reshape(C), out[1].reshape(C)
+        return out[0].reshape(NTP * tq)[:C]
+    return out[0].reshape(NTP * tq)[:C], out[1].reshape(NTP * tq)[:C]
 
 
 BGRP = 8  # builder emission group: blocks per DMA (must divide b_max)
@@ -463,6 +477,7 @@ def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None):
     like the reference's viscosity)."""
     C = rho_sorted.shape[0]
     NT = C // tq
+    NTP = _nt_pad(NT)  # 8-sublane store granularity (see _nt_pad)
     if interpret is None:
         interpret = default_interpret()
     rf = rho_sorted[:, None]
@@ -486,13 +501,13 @@ def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None):
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, NT, tq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, NTP, tq), jnp.float32),
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
         ),
     )(cnt, meta, vweights, rf, rl)
-    return out[0].reshape(C), out[1].reshape(C)
+    return out[0].reshape(NTP * tq)[:C], out[1].reshape(NTP * tq)[:C]
 
 
 def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,

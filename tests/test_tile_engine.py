@@ -494,3 +494,84 @@ def test_backend_differential_uniform_iisph2():
         merging=False, sharing=False, splitting=False, max_iters=60,
     )
     _diff_backends(params, _dam_scene(), steps=4, capacity=1024)
+
+
+@pytest.mark.parametrize("C,tq", [
+    (256, 16), (256, 64), (256, 128),
+    (512, 16), (512, 64), (512, 128),
+    (1024, 16), (1024, 64), (1024, 128),
+])
+def test_matvec_small_shapes_vs_dense(C, tq):
+    """Builder + all three block-stream kernels at small (capacity, tq) shapes,
+    including NT = capacity/tq < 8 (capacity 512 @ tq=128 -> NT=4 was an
+    out-of-bounds 8-sublane store in round 4) — the capacity-growth path of the
+    reference's Vec::extend (splitting.rs:56-58) starts exactly here."""
+    from adaptive_sph_tpu.ops.pallas_matvec import (
+        _gmag, _w_and_gmag, build_weight_cache_prep, visc_matvec, weight_matvec,
+    )
+
+    n_fine = {256: 80, 512: 160, 1024: 300}[C]
+    pos, h, mass, alive = _two_level_cloud(C=C, n_fine=n_fine, n_coarse=3,
+                                           seed=13 + C + tq)
+    cfg = _cfg(C, tq=tq)
+    bins = build_tiles(pos, h * 2.0, h, alive, cfg)
+    assert int(bins.overflow) == 0
+    st = sort_fields(bins, [pos, h, mass])
+    rng = np.random.default_rng(17)
+    vel = jnp.asarray(rng.normal(0, 0.4, (C, 2)).astype(np.float32))
+    scale, visc = 2.0, 0.02
+
+    outs = build_weight_cache_prep(
+        cfg, bins, st, vel, scale, cfg.b_max, "laplace", visc,
+        wdtype=jnp.float32, want_s2=False, fuse_density=True, visc_stream=True,
+    )
+    wcache, vcache, meta, cnt, prep = outs
+    assert int(cnt[1]) == 0, "weight-cache overflow in a small-shape test"
+
+    # dense brute-force pair weights (query i rows, candidate j cols)
+    x, y, hh, m = st[:, 0], st[:, 1], st[:, 2], st[:, 3]
+    h_ij = jnp.maximum(0.5 * (hh[:, None] + hh[None, :]), 1e-6)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    r2 = dx * dx + dy * dy
+    rad = scale * h_ij
+    valid = (r2 < rad * rad) & (hh[None, :] > 0) & (hh[:, None] > 0)
+    w_val, gmag = _w_and_gmag(r2, h_ij)
+    del gmag
+    g = jnp.where(valid, m[None, :] * _gmag(r2, h_ij), 0.0)
+    wx, wy = g * dx, g * dy
+    live = np.asarray(hh) > 0
+
+    def check(got, want, name):
+        got = np.asarray(got)[live]
+        want = np.asarray(want)[live]
+        s = np.max(np.abs(want)) + 1e-6
+        assert np.max(np.abs(got - want)) / s < 1e-5, (name, C, tq)
+
+    # fused density row (prep row 3) = sum_j m_j W_ij
+    den = jnp.sum(jnp.where(valid, m[None, :] * w_val, 0.0), axis=1)
+    check(prep[:, 3, :].reshape(C), den, "density")
+
+    # accel mode: out = (sum_j wx u_j, sum_j wy u_j)
+    u = jnp.asarray(rng.uniform(0, 10, C).astype(np.float32))
+    mvx, mvy = weight_matvec(wcache, meta, cnt, u[:, None], tq, k_out=2)
+    check(mvx, wx @ u, "accel_x")
+    check(mvy, wy @ u, "accel_y")
+
+    # div mode (channel-split operands): out = sum_j (wx tx_j + wy ty_j)
+    tx = jnp.asarray(rng.normal(0, 1, C).astype(np.float32))
+    ty = jnp.asarray(rng.normal(0, 1, C).astype(np.float32))
+    s = weight_matvec(wcache, meta, cnt, (tx, ty), tq, k_out=1)
+    check(s, wx @ tx + wy @ ty, "div")
+
+    # visc stream: deferred 1/(rho_i+rho_j) ApproxLaplace pair sum
+    rho = jnp.asarray(rng.uniform(0.8, 1.2, C).astype(np.float32))
+    vx, vy = visc_matvec(vcache, meta, cnt, rho, tq)
+    dvx = vel[:, 0][:, None] - vel[:, 0][None, :]
+    dvy = vel[:, 1][:, None] - vel[:, 1][None, :]
+    dot = dx * dvx + dy * dvy
+    coef = (visc * 8.0 * dot / (r2 + 0.01 * h_ij * h_ij)
+            / jnp.maximum((rho[:, None] + rho[None, :]) * 0.5, 1e-30))
+    coef = jnp.where((dot < 0.0) & valid, coef, 0.0)
+    check(vx, jnp.sum(coef * wx, axis=1), "visc_x")
+    check(vy, jnp.sum(coef * wy, axis=1), "visc_y")
