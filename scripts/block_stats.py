@@ -1,8 +1,8 @@
 """Occupancy census of the weight-cache blocks: where do the streamed bytes go?
 
-Recomputes, in numpy, the exact block set the fused builder emits on the bench
-scene (same window walk as ops/pallas_matvec._build_prep_kernel) and reports,
-per populated level-pair (query level x candidate level):
+Recomputes, in numpy, the exact block set the fused builder emits (same window
+walk as ops/pallas_matvec._build_prep_kernel) and reports, per populated
+level-pair (query level x candidate level):
 
   blocks, valid pairs, validity %, query-lane span histogram, candidate-row
   (8-sublane granularity) usage
@@ -15,48 +15,50 @@ plus the projected stream bytes of candidate compaction schemes:
   qquart   — 32-lane quarter blocks
   both     — candidate trim x quarter blocks
 
-Runs on CPU (no TPU needed): python scripts/block_stats.py [replicas]
+`census()` is reusable (scripts/scenario_gates.py records its core fields per
+gate entry as restructuring tripwires). Runs on CPU (no TPU needed):
+python scripts/block_stats.py [replicas]
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np  # noqa: E402
 
 
-def main():
+def census(position, h, mass, alive, tcfg, scale):
+    """Numpy re-walk of the fused builder's window/block set.
+
+    position/h/mass/alive: (C,)-shaped arrays (any order; the census sorts).
+    Returns a dict with the core occupancy numbers plus detail tables the CLI
+    pretty-prints. Pure host-side numpy after one build_tiles/sort/window pass.
+    """
     import jax
     import jax.numpy as jnp
 
-    from bench import build_sim
-    from adaptive_sph_tpu.ops import kernels
     from adaptive_sph_tpu.ops.tiles import (TILE, WM_STRIDE, build_tiles,
-                                            sort_fields, window_meta)
+                                            sort_fields, window_ranges)
+    from adaptive_sph_tpu.ops import kernels
 
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    sim = build_sim(replicas=replicas)
-    st, params, tcfg = sim.state, sim.params, sim.tile_cfg
-    from adaptive_sph_tpu.models.grid_step import physics_scale
-
-    scale = float(physics_scale(params))
-    h = jnp.asarray(
-        kernels.smoothing_length_from_mass(st.mass, params.rest_density, 2))
+    h = jnp.asarray(h)
+    if not bool(jnp.any(h > 0)):
+        h = jnp.asarray(
+            kernels.smoothing_length_from_mass(mass, 1.0, 2))
     bins = jax.jit(lambda p: build_tiles(p, h * jnp.float32(tcfg.mscale), h,
-                                         st.alive, tcfg))(st.position)
-    stt = np.asarray(jax.jit(lambda: sort_fields(bins, [st.position, h, st.mass]))())
-    wm = np.asarray(jax.jit(lambda: window_meta(tcfg, bins, stt))())
+                                         alive, tcfg))(position)
+    stt = np.asarray(jax.jit(lambda: sort_fields(bins, [position, h, mass]))())
+    wm_j, collapsed = jax.jit(lambda: window_ranges(tcfg, bins, stt))()
+    wm = np.asarray(wm_j)
     starts = np.asarray(bins.cell_starts)
     TQ = tcfg.tq
     NT = tcfg.capacity // TQ
     NL = len(tcfg.populated)
     C = tcfg.capacity
 
-    x, y, hh, m = stt[:, 0], stt[:, 1], stt[:, 2], stt[:, 3] if stt.shape[1] > 3 else None
-    # query level of each tile = level of its (single) row; recover from h>0 slots
-    # via the level ladder: level = populated[searchsorted] like build_tiles
+    x, y, hh = stt[:, 0], stt[:, 1], stt[:, 2]
+    # query level of each tile: recover from h via the level ladder like build_tiles
     qlev = np.full(NT, -1)
     for t in range(NT):
         hv = hh[t * TQ:(t + 1) * TQ]
@@ -65,7 +67,6 @@ def main():
             lev = int(np.ceil(np.log2(max(sr / tcfg.cell0, 1.0)) - 1e-6))
             qlev[t] = min(lev, max(tcfg.populated))
 
-    # census accumulators keyed by (qlevel, clevel)
     from collections import defaultdict
     blocks = defaultdict(int)
     pairs = defaultdict(int)
@@ -125,53 +126,96 @@ def main():
                     lane_occ = valid.any(axis=0)
                     lanes = np.nonzero(lane_occ)[0]
                     lane_spans.append(lanes[-1] - lanes[0] + 1)
-                    qhalves += int(lane_occ[:64].any()) + int(lane_occ[64:].any())
-                    qq = lane_occ.reshape(TQ // 32, 32).any(axis=1)
+                    half = TQ // 2
+                    qhalves += int(lane_occ[:half].any()) + int(lane_occ[half:].any())
+                    qq = lane_occ.reshape(max(TQ // 32, 1), -1).any(axis=1)
                     qquarts += int(qq.sum())
                     occq_hist[int(qq.sum())] += 1
                     row_occ = valid.any(axis=1).reshape(8, 8).any(axis=1)
                     crows += int(row_occ.sum())
-                    cell_occ = valid.reshape(8, 8, TQ // 32, 32).any(axis=(1, 3))
+                    cell_occ = valid.reshape(8, 8, max(TQ // 32, 1), -1).any(axis=(1, 3))
                     crows_q += int(cell_occ.sum())
 
     tot_blocks = sum(blocks.values())
     tot_pairs = sum(pairs.values())
-    lw = 2 * TQ
-    print(f"n={sim.num_fluid_particles} C={C} TQ={TQ} NT={NT} "
+    lw = max(2 * TQ, 128)
+    return {
+        "tq": TQ,
+        "capacity": C,
+        "blocks": tot_blocks,
+        "empty_windows": empty_blocks,
+        "pairs": tot_pairs,
+        "pair_validity_pct": tot_pairs / max(tot_blocks, 1) / (64 * TQ) * 100,
+        "collapsed_windows": int(collapsed),
+        "stream_mb_bf16": tot_blocks * 64 * lw * 2 / 1e6,
+        # detail tables for the CLI
+        "_by_level": {k: (blocks[k], pairs[k]) for k in sorted(blocks)},
+        "_lane_spans": np.array(lane_spans),
+        "_qhalves": qhalves,
+        "_qquarts": qquarts,
+        "_crows": crows,
+        "_crows_q": crows_q,
+        "_win_by_range": dict(win_by_range),
+        "_empty_by_range": dict(empty_by_range),
+        "_occq_hist": dict(occq_hist),
+        "_valid_hist": dict(valid_hist),
+    }
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax.numpy as jnp
+
+    from bench import build_sim
+    from adaptive_sph_tpu.ops import kernels
+    from adaptive_sph_tpu.models.grid_step import physics_scale
+
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    sim = build_sim(replicas=replicas)
+    st, params, tcfg = sim.state, sim.params, sim.tile_cfg
+    scale = float(physics_scale(params))
+    h = jnp.asarray(
+        kernels.smoothing_length_from_mass(st.mass, params.rest_density, 2))
+    c = census(st.position, h, st.mass, st.alive, tcfg, scale)
+
+    TQ, C = c["tq"], c["capacity"]
+    lw = max(2 * TQ, 128)
+    print(f"n={sim.num_fluid_particles} C={C} TQ={TQ} NT={C // TQ} "
           f"levels={tcfg.populated}")
-    print(f"blocks={tot_blocks} (+{empty_blocks} empty-skipped) pairs={tot_pairs} "
-          f"avg_pairs/block={tot_pairs/max(tot_blocks,1):.1f} "
-          f"validity={tot_pairs/max(tot_blocks,1)/(64*TQ)*100:.2f}%")
+    print(f"blocks={c['blocks']} (+{c['empty_windows']} empty-skipped) "
+          f"pairs={c['pairs']} "
+          f"avg_pairs/block={c['pairs'] / max(c['blocks'], 1):.1f} "
+          f"validity={c['pair_validity_pct']:.2f}% "
+          f"collapsed={c['collapsed_windows']}")
     print("\nper (qlevel, clevel):")
-    for key in sorted(blocks):
-        b, p = blocks[key], pairs[key]
+    for key, (b, p) in c["_by_level"].items():
         print(f"  q{key[0]} x c{key[1]}: blocks={b:5d} pairs={p:7d} "
-              f"validity={p/b/(64*TQ)*100:5.2f}%")
-    ls = np.array(lane_spans)
-    print(f"\nquery-lane span per block: p25={np.percentile(ls,25):.0f} "
-          f"median={np.median(ls):.0f} p75={np.percentile(ls,75):.0f} "
-          f"p95={np.percentile(ls,95):.0f} max={ls.max()}")
+              f"validity={p / b / (64 * TQ) * 100:5.2f}%")
+    ls = c["_lane_spans"]
+    print(f"\nquery-lane span per block: p25={np.percentile(ls, 25):.0f} "
+          f"median={np.median(ls):.0f} p75={np.percentile(ls, 75):.0f} "
+          f"p95={np.percentile(ls, 95):.0f} max={ls.max()}")
     B2 = 2  # bf16
-    full = tot_blocks * 64 * lw * B2
-    chalf = crows * 8 * lw * B2
-    qhalf = qhalves * 64 * (lw // 2) * B2
-    qquart = qquarts * 64 * (lw // 4) * B2
-    both = crows_q * 8 * (lw // 4) * B2
-    ideal = tot_pairs * 2 * B2
+    full = c["blocks"] * 64 * lw * B2
+    chalf = c["_crows"] * 8 * lw * B2
+    qhalf = c["_qhalves"] * 64 * (lw // 2) * B2
+    qquart = c["_qquarts"] * 64 * (lw // 4) * B2
+    both = c["_crows_q"] * 8 * (lw // 4) * B2
+    ideal = c["pairs"] * 2 * B2
     print(f"\nstream bytes/iteration (bf16):")
-    print(f"  full (current)           : {full/1e6:7.2f} MB")
-    print(f"  cand-trim bricks (8-rows): {chalf/1e6:7.2f} MB  ({crows} bricks)")
-    print(f"  query 64-lane halves     : {qhalf/1e6:7.2f} MB  ({qhalves} halves)")
-    print(f"  query 32-lane quarters   : {qquart/1e6:7.2f} MB  ({qquarts} quarters)")
-    print(f"  both (8x32 cells)        : {both/1e6:7.2f} MB  ({crows_q} cells)")
-    print(f"  ideal (pairs only)       : {ideal/1e6:7.2f} MB")
+    print(f"  full (current)           : {full / 1e6:7.2f} MB")
+    print(f"  cand-trim bricks (8-rows): {chalf / 1e6:7.2f} MB  ({c['_crows']} bricks)")
+    print(f"  query 64-lane halves     : {qhalf / 1e6:7.2f} MB  ({c['_qhalves']} halves)")
+    print(f"  query 32-lane quarters   : {qquart / 1e6:7.2f} MB  ({c['_qquarts']} quarters)")
+    print(f"  both (8x32 cells)        : {both / 1e6:7.2f} MB  ({c['_crows_q']} cells)")
+    print(f"  ideal (pairs only)       : {ideal / 1e6:7.2f} MB")
     print(f"\nwindows by range position (walked/empty): "
-          + " ".join(f"r{r}:{win_by_range[r]}/{empty_by_range[r]}"
-                     for r in sorted(win_by_range)))
+          + " ".join(f"r{r}:{c['_win_by_range'][r]}/{c['_empty_by_range'].get(r, 0)}"
+                     for r in sorted(c["_win_by_range"])))
     print("occupied quarters per nonempty window: "
-          + " ".join(f"{k}q:{occq_hist[k]}" for k in sorted(occq_hist)))
+          + " ".join(f"{k}q:{v}" for k, v in sorted(c["_occq_hist"].items())))
     print("valid pairs per walked window (pow2 buckets): "
-          + " ".join(f"{k}:{valid_hist[k]}" for k in sorted(valid_hist)))
+          + " ".join(f"{k}:{v}" for k, v in sorted(c["_valid_hist"].items())))
 
 
 if __name__ == "__main__":

@@ -124,6 +124,10 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None,
     else:
         raise ValueError(name)
 
+    if momentum and name != "stress":
+        # the disclosed heavy-ball extension (same operator/source/exit-test
+        # contract as the plain schedule); recorded per entry for A/B gates
+        params = params.replace(jacobi_momentum=momentum)
     sim = create_simulation(params, scene, counters_enabled=True,
                             backend=backend or "auto", capacity=capacity)
     n0 = sim.num_fluid_particles
@@ -265,6 +269,24 @@ def run_scenario(name, t_end, chunk=64, backend=None, capacity=None,
         "backend": sim.backend,
         "platform": jax.default_backend(),
     }
+    if sim.backend == "tiles":
+        # walk/occupancy census on the final state: regression tripwires for
+        # block-shape / sort-order restructuring (blocks, pair validity,
+        # collapsed windows per scenario)
+        try:
+            from scripts.block_stats import census
+            from adaptive_sph_tpu.models.grid_step import physics_scale
+
+            c = census(sim.state.position, sim.state.h, sim.state.mass,
+                       sim.state.alive, sim.tile_cfg,
+                       float(physics_scale(params)))
+            out["walk_blocks"] = c["blocks"]
+            out["walk_pairs"] = c["pairs"]
+            out["walk_pair_validity_pct"] = round(c["pair_validity_pct"], 3)
+            out["walk_collapsed_windows"] = c["collapsed_windows"]
+            out["walk_stream_mb_bf16"] = round(c["stream_mb_bf16"], 2)
+        except Exception as e:  # census is diagnostic-only; never fail a gate
+            out["walk_census_error"] = repr(e)
     print(json.dumps(out, indent=1), flush=True)
     ok = (contained and out["mass_drift"] < 1e-3 and viol["den"] == 0
           and viol["div"] == 0 and dt_collapse_t is None)
