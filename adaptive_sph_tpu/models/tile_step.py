@@ -321,6 +321,26 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     mega = use_wcache and not need_s2
     wdtype = jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32
     rho_s = cf_s = None
+    # v7 scalar-g blocks (mega path only; the resident solver and the
+    # legacy-format tests consume [wx|wy]): half the streamed bytes, double
+    # window height; matvecs reconstruct wx/wy from the statics in-kernel.
+    # OPT-IN (ASPH_SCALAR_BLOCKS=1): standalone the scalar matvec beats the
+    # legacy one (0.025 vs 0.032 ms/stream, -33% bytes) but IN-CONTEXT the
+    # extra statics/sq operands cost more than the bytes save (bench A/B
+    # 3.26 vs 2.63 ms/step, 2026-08-19) — see PERFORMANCE.md dead end #7.
+    from ..ops.pallas_matvec import scalar_blocks_supported
+
+    wc_scalar = (
+        mega and scalar_blocks_supported(tcfg.tq)
+        and _os.environ.get("ASPH_SCALAR_BLOCKS", "0") == "1"
+    )
+    if wc_scalar:
+        from ..ops.tiles import to_chunks as _to_chunks
+
+        wc_st = st  # sorted statics table (C, F)
+        wc_sq = jnp.swapaxes(_to_chunks(st, tcfg.tq), 1, 2)  # (NT, F, TQ)
+    else:
+        wc_st = wc_sq = None
     if mega:
         from ..ops.pallas_matvec import build_weight_cache_prep, visc_matvec
 
@@ -329,7 +349,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             tcfg, bins, st, col("vel"), pscale, tcfg.b_max,
             vm if visc_stream else "none", params.viscosity,
             wmeta=wm, wdtype=wdtype, want_s2=False,
-            fuse_density=True, visc_stream=visc_stream,
+            fuse_density=True, visc_stream=visc_stream, scalar=wc_scalar,
         )
         if visc_stream:
             wcache, vcache, wmeta_blocks, wcnt, res = outs
@@ -349,7 +369,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         visc_x = visc_y = jnp.zeros_like(rho_s)
         if visc_stream:
             visc_x, visc_y = visc_matvec(vcache, wmeta_blocks, wcnt, rho_s,
-                                         tcfg.tq)
+                                         tcfg.tq, statics=wc_st, sq=wc_sq)
     else:
         # 10. density (simulation.rs:2204)
         rho_s = sweep(tp.DENSITY_OP, None, pscale)[:, 0] + bdens_s
@@ -357,9 +377,13 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         if use_wcache:
             from ..ops.pallas_matvec import build_weight_cache_prep
 
+            # legacy [wx|wy] blocks: this branch feeds the Winchenbach2020
+            # discretization and/or the resident solver (ops/pallas_jacobi.py
+            # consumes the 2-channel layout)
             wcache, wmeta_blocks, wcnt, res = build_weight_cache_prep(
                 tcfg, bins, st, _stack(rho_s, vx_s, vy_s), pscale, tcfg.b_max,
                 vm, params.viscosity, wmeta=wm, wdtype=wdtype, want_s2=need_s2,
+                scalar=False,
             )
             diag["wcache_overflow"] = psum(wcnt[1])
 
@@ -440,7 +464,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             p = refresh(p)
             u = p * rho_inv * rho_inv
             mvx, mvy = weight_matvec(wcache, wmeta_blocks, wcnt, u[:, None],
-                                     tcfg.tq, k_out=2)
+                                     tcfg.tq, k_out=2, statics=wc_st, sq=wc_sq)
             bx, by = gp.boundary_accel_slots_1d(Gx_s, Gy_s, p, rho_s, bt.kind, params)
             return -u * s1x - mvx + bx, -u * s1y - mvy + by
 
@@ -458,11 +482,12 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
                 tx, ty = qx, qy
             if w2020:
                 s = weight_matvec(wcache, wmeta_blocks, wcnt,
-                                  (tx * rho_inv, ty * rho_inv), tcfg.tq, k_out=1)
+                                  (tx * rho_inv, ty * rho_inv), tcfg.tq,
+                                  k_out=1, statics=wc_st, sq=wc_sq)
                 s = s - (qx * s2x + qy * s2y)
             else:
                 s = weight_matvec(wcache, wmeta_blocks, wcnt, (tx, ty),
-                                  tcfg.tq, k_out=1)
+                                  tcfg.tq, k_out=1, statics=wc_st, sq=wc_sq)
                 s = (s - (qx * s1x + qy * s1y)) * rho_inv
             return s + gp.boundary_div_slots_1d(Gx_s, Gy_s, qx, qy, rho_s,
                                                 bt.kind, params)

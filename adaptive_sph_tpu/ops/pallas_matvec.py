@@ -21,6 +21,20 @@ Blocks are tile-major; outputs accumulate in registers with unconditional
 progressive stores (branch-free bodies — conditional flushes serialized the
 unrolled DMA group and cost 2.2x).
 
+v7 SCALAR blocks (the round-5 default at tq=128): a block stores only the
+scalar pair weight g = m_j * gmag as (2*TILE candidate sublanes, TQ query
+lanes); the directional factors dx = qx - cx, dy = qy - cy are reconstructed
+IN-KERNEL from the statics table (candidate side: dynamic sublane slice of the
+per-step (C, F) sorted statics; query side: the (NT, F, TQ) channels-first
+tile view) — both already materialized per step. This HALVES the streamed
+bytes per block AND doubles the window height (128 vs 64 candidates), cutting
+the per-block fixed cost share (probe 2026-08-19, bench scene, bf16: 0.032 ->
+0.025 ms/stream, 29.1 -> 19.5 MB, 887 -> 595 blocks; WH=64 and WH=256 both
+measured slower). In f32 the reconstruction is BIT-IDENTICAL to the stored
+[wx|wy] form: g*(qx-cx) uses the same f32 inputs and ops as the builder did.
+The legacy 2-channel format remains for tq < 128 (lane width must be >= 128)
+and for the resident-solver path (ops/pallas_jacobi.py consumes it).
+
 Exactness: identical pair set and weights as the direct sweeps; only f32
 association order differs (differentially tested in tests/test_tile_engine.py).
 """
@@ -333,7 +347,8 @@ def _matvec_kernel(cnt_ref, meta_ref, w_hbm, t_ref, *rest,
             unroll=False)
 
 
-def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=None):
+def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int,
+                  interpret=None, statics=None, sq=None):
     """meta = packed (tile << META_SHIFT) | anchor from the builders.
 
     t_sorted: flat (C, k_in) values in SORTED order. Returns CHANNEL-MAJOR 1-D
@@ -344,7 +359,14 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     f32 arrays tile DENSE on the VPU — the old interleaved (C, 2) form tiled
     as (8, 128) with 2/128 lanes used, which made every downstream elementwise
     fusion run at <2% lane efficiency (profiled at 40-90 us per trivial chain).
+
+    statics/sq: pass the per-step sorted statics table (C, F) and its
+    channels-first tile view (NT, F, TQ) to consume SCALAR-g blocks (v7,
+    weights shaped (b_max, WH, tq)); omit for legacy [wx|wy] blocks.
     """
+    if statics is not None:
+        return _scalar_weight_matvec(weights, meta, cnt, t_sorted, tq, k_out,
+                                     statics, sq, interpret)
     if isinstance(t_sorted, tuple):
         # div mode, channel-split: two (C,) operands, no (C, 2) interleave
         tx, ty = t_sorted
@@ -390,6 +412,252 @@ def weight_matvec(weights, meta, cnt, t_sorted, tq: int, k_out: int, interpret=N
     if k_out == 1:
         return out[0].reshape(NTP * tq)[:C]
     return out[0].reshape(NTP * tq)[:C], out[1].reshape(NTP * tq)[:C]
+
+
+def _scalar_weight_matvec(weights, meta, cnt, t_sorted, tq, k_out, statics,
+                          sq, interpret=None):
+    """Scalar-g block matvec (see weight_matvec); t as in the legacy form."""
+    assert weights.shape[1] == WH and weights.shape[2] == tq, weights.shape
+    if isinstance(t_sorted, tuple):
+        tx, ty = t_sorted
+        C = tx.shape[0]
+        t_ops = [tx[:, None], ty[:, None]]
+    else:
+        C = t_sorted.shape[0]
+        if t_sorted.ndim == 1:
+            t_sorted = t_sorted[:, None]
+        t_ops = [t_sorted]
+    NT = C // tq
+    NTP = _nt_pad(NT)
+    if interpret is None:
+        interpret = default_interpret()
+
+    kern = functools.partial(_scalar_matvec_kernel, tq=tq, k_out=k_out)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]  # blocks in HBM
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(t_ops)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GRP, WH, tq), weights.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_out, NTP, tq), jnp.float32),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
+        ),
+    )(cnt, meta, weights, statics, sq, *t_ops)
+    if k_out == 1:
+        return out[0].reshape(NTP * tq)[:C]
+    return out[0].reshape(NTP * tq)[:C], out[1].reshape(NTP * tq)[:C]
+
+
+def _scalar_visc_matvec(vweights, meta, cnt, rho_sorted, tq, statics, sq,
+                        interpret=None):
+    C = rho_sorted.shape[0]
+    NT = C // tq
+    NTP = _nt_pad(NT)
+    if interpret is None:
+        interpret = default_interpret()
+    rf = rho_sorted[:, None]
+    rl = rho_sorted.reshape(NT, tq)
+
+    kern = functools.partial(_scalar_visc_kernel, tq=tq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GRP, WH, tq), vweights.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, NTP, tq), jnp.float32),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 * 1024 * 1024 if C > 16384 else None)
+        ),
+    )(cnt, meta, vweights, statics, sq, rf, rl)
+    return out[0].reshape(NTP * tq)[:C], out[1].reshape(NTP * tq)[:C]
+
+
+WH = 2 * TILE  # scalar-block window height (candidate sublanes per block)
+
+
+def scalar_blocks_supported(tq: int) -> bool:
+    """Scalar-g blocks need the query-lane dim to be a full 128-lane vreg
+    (blocks are (WH, tq)); production `_tile_tq` always picks 128."""
+    return tq == 128
+
+
+def _scalar_matvec_kernel(cnt_ref, meta_ref, w_hbm, sc_ref, sq_ref, t_ref,
+                          *rest, tq: int, k_out: int):
+    """Stream scalar-g blocks; reconstruct wx/wy from the statics in-kernel.
+
+    k_out=2 (accel): t = u (C, 1);     out = (sum g*dx*u, sum g*dy*u)
+    k_out=1 (div):   t, t2 = tx, ty;   out = sum (g*dx)*tx + (g*dy)*ty
+
+    f32 bit-exactness with the legacy [wx|wy] blocks: wx = w * (qx - cx) uses
+    the same f32 inputs (statics table / channels-first tile view) and the
+    same ops the builder used to form its stored wx, so the products and the
+    per-block partial sums match the legacy kernel's inputs exactly.
+    """
+    if k_out == 1:
+        t2_ref, out_ref, scratch, sem = rest
+    else:
+        (out_ref, scratch, sem), t2_ref = rest, None
+    B = cnt_ref[0]
+    NG = (B + GRP - 1) // GRP
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def get_dma(buf, g):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(g * GRP, GRP)], scratch.at[buf], sem.at[buf]
+        )
+
+    for k in range(NBUF - 1):
+        @pl.when(k < NG)
+        def _(k=k):
+            get_dma(k, k).start()
+
+    acc0 = jnp.zeros((8, tq), jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
+
+    def body(grp_i, carry):
+        accA, accB, cur_g8 = carry
+        buf = jnp.mod(grp_i, NBUF)
+
+        @pl.when(grp_i + NBUF - 1 < NG)
+        def _():
+            get_dma(jnp.mod(grp_i + NBUF - 1, NBUF), grp_i + NBUF - 1).start()
+
+        get_dma(buf, grp_i).wait()
+        for g in range(GRP):
+            e = grp_i * GRP + g
+            e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
+            valid = e < B
+            me = meta_ref[e_safe]
+            qt_e = me >> META_SHIFT
+            an_e = me & ((1 << META_SHIFT) - 1)
+            g8 = qt_e >> 3
+            switch = g8 != cur_g8
+            accA = jnp.where(switch, 0.0, accA)
+            accB = jnp.where(switch, 0.0, accB)
+            cur_g8 = g8
+            rowmask = (row == (qt_e & 7)) & valid
+
+            w = scratch[buf, g]  # (WH, tq) scalar g, cands on sublanes
+            if w.dtype != jnp.float32:
+                w = w.astype(jnp.float32)
+            cs = sc_ref[pl.ds(an_e, WH), :]  # (WH, F) candidate statics
+            qs = sq_ref[qt_e]  # (F, tq) query statics, channels-first
+            wx = w * (qs[0:1, :] - cs[:, 0:1])
+            wy = w * (qs[1:2, :] - cs[:, 1:2])
+            if k_out == 2:
+                tv = t_ref[pl.ds(an_e, WH), :]  # (WH, 1)
+                ax = jnp.sum(wx * tv, axis=0, keepdims=True)
+                ay = jnp.sum(wy * tv, axis=0, keepdims=True)
+                accA = accA + jnp.where(rowmask, ax, 0.0)
+                accB = accB + jnp.where(rowmask, ay, 0.0)
+            else:
+                tvx = t_ref[pl.ds(an_e, WH), :]
+                tvy = t2_ref[pl.ds(an_e, WH), :]
+                c0 = jnp.sum(wx * tvx + wy * tvy, axis=0, keepdims=True)
+                accA = accA + jnp.where(rowmask, c0, 0.0)
+            base = g8 * 8
+            out_ref[0, pl.ds(base, 8), :] = accA
+            if k_out == 2:
+                out_ref[1, pl.ds(base, 8), :] = accB
+
+        return accA, accB, cur_g8
+
+    @pl.when(B > 0)
+    def _():
+        jax.lax.fori_loop(
+            0, NG, body, (acc0, acc0, (meta_ref[0] >> META_SHIFT) >> 3),
+            unroll=False)
+
+
+def _scalar_visc_kernel(cnt_ref, meta_ref, w_hbm, sc_ref, sq_ref, rf_ref,
+                        rl_ref, out_ref, scratch, sem, *, tq: int):
+    """Scalar visc blocks [B*g]; per pair apply dx/dy (statics) and the
+    deferred 1/(rho_i + rho_j) (rho in flat + lane-major layouts)."""
+    B = cnt_ref[0]
+    NG = (B + GRP - 1) // GRP
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def get_dma(buf, g):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(g * GRP, GRP)], scratch.at[buf], sem.at[buf]
+        )
+
+    for k in range(NBUF - 1):
+        @pl.when(k < NG)
+        def _(k=k):
+            get_dma(k, k).start()
+
+    acc0 = jnp.zeros((8, tq), jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, tq), 0)
+
+    def body(grp_i, carry):
+        accA, accB, cur_g8 = carry
+        buf = jnp.mod(grp_i, NBUF)
+
+        @pl.when(grp_i + NBUF - 1 < NG)
+        def _():
+            get_dma(jnp.mod(grp_i + NBUF - 1, NBUF), grp_i + NBUF - 1).start()
+
+        get_dma(buf, grp_i).wait()
+        for g in range(GRP):
+            e = grp_i * GRP + g
+            e_safe = jnp.minimum(e, jnp.maximum(B - 1, 0))
+            valid = e < B
+            me = meta_ref[e_safe]
+            qt_e = me >> META_SHIFT
+            an_e = me & ((1 << META_SHIFT) - 1)
+            g8 = qt_e >> 3
+            switch = g8 != cur_g8
+            accA = jnp.where(switch, 0.0, accA)
+            accB = jnp.where(switch, 0.0, accB)
+            cur_g8 = g8
+            rowmask = (row == (qt_e & 7)) & valid
+
+            w = scratch[buf, g]  # (WH, tq) scalar B*g
+            if w.dtype != jnp.float32:
+                w = w.astype(jnp.float32)
+            cs = sc_ref[pl.ds(an_e, WH), :]
+            qs = sq_ref[qt_e]
+            rj = rf_ref[pl.ds(an_e, WH), :]   # (WH, 1)
+            ri = rl_ref[pl.ds(qt_e, 1), :]    # (1, tq)
+            inv = 1.0 / jnp.maximum(rj + ri, 1e-30)
+            sx = w * (qs[0:1, :] - cs[:, 0:1])
+            sy = w * (qs[1:2, :] - cs[:, 1:2])
+            ax = jnp.sum(sx * inv, axis=0, keepdims=True)
+            ay = jnp.sum(sy * inv, axis=0, keepdims=True)
+            accA = accA + jnp.where(rowmask, ax, 0.0)
+            accB = accB + jnp.where(rowmask, ay, 0.0)
+            base = g8 * 8
+            out_ref[0, pl.ds(base, 8), :] = accA
+            out_ref[1, pl.ds(base, 8), :] = accB
+
+        return accA, accB, cur_g8
+
+    @pl.when(B > 0)
+    def _():
+        jax.lax.fori_loop(
+            0, NG, body, (acc0, acc0, (meta_ref[0] >> META_SHIFT) >> 3),
+            unroll=False)
 
 
 BGRP = 8  # builder emission group: blocks per DMA (must divide b_max)
@@ -469,12 +737,17 @@ def _visc_kernel(cnt_ref, meta_ref, w_hbm, rf_ref, rl_ref, out_ref, scratch, sem
             unroll=False)
 
 
-def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None):
+def visc_matvec(vweights, meta, cnt, rho_sorted, tq: int, interpret=None,
+                statics=None, sq=None):
     """Viscosity acceleration from the builder's rho-free pair blocks.
 
     rho_sorted: flat (C,) densities in SORTED order. Returns channel-split
     (vx (C,), vy (C,)) viscosity accelerations (fluid part; no boundary term,
-    like the reference's viscosity)."""
+    like the reference's viscosity). statics/sq select the scalar-block form
+    (see weight_matvec)."""
+    if statics is not None:
+        return _scalar_visc_matvec(vweights, meta, cnt, rho_sorted, tq,
+                                   statics, sq, interpret)
     C = rho_sorted.shape[0]
     NT = C // tq
     NTP = _nt_pad(NT)  # 8-sublane store granularity (see _nt_pad)
@@ -515,7 +788,8 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,
                        cfg: TileConfig, scale: float, b_max: int, visc_mode: str,
                        viscosity: float, want_s2: bool = True,
                        fuse_density: bool = False, visc_stream: bool = False,
-                       fstat: int = 4, rest_eps: float = 1e-30):
+                       fstat: int = 4, rest_eps: float = 1e-30,
+                       scalar: bool = False):
     """Fused per-step pass: weight-cache build + the prep sums in ONE window walk.
 
     The weight block entries w = m_j * grad W_ij ARE the integrand of the a_ii
@@ -581,8 +855,13 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,
 
         acc0 = jnp.zeros((8, TQ), jnp.float32)
 
-        def emit_half(slot, wx_h, wy_h, a_h, sx_h=None, sy_h=None):
-            """Stage one 64-cand block in the group ring; flush on wrap."""
+        def emit_block(slot, a_h, wx_h=None, wy_h=None, sx_h=None, sy_h=None,
+                       g_h=None, vs_h=None):
+            """Stage one block in the group ring; flush on wrap.
+
+            Legacy: a 64-cand [wx | wy] half-window (wx_h/wy_h, + sx_h/sy_h
+            for the visc set). Scalar: one full (W2, TQ) scalar-g window
+            (g_h, + vs_h = B*g for the visc set)."""
             buf = jnp.mod(slot // BGRP, 2)
             pos = jnp.mod(slot, BGRP)
 
@@ -598,11 +877,17 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,
                         sem.at[buf, 1],
                     ).wait()
 
-            scratch[buf, pos, :, 0:TQ] = wx_h.astype(scratch.dtype)
-            scratch[buf, pos, :, half:half + TQ] = wy_h.astype(scratch.dtype)
-            if visc_stream:
-                vscratch[buf, pos, :, 0:TQ] = sx_h.astype(vscratch.dtype)
-                vscratch[buf, pos, :, half:half + TQ] = sy_h.astype(vscratch.dtype)
+            if scalar:
+                scratch[buf, pos] = g_h.astype(scratch.dtype)
+                if visc_stream:
+                    vscratch[buf, pos] = vs_h.astype(vscratch.dtype)
+            else:
+                scratch[buf, pos, :, 0:TQ] = wx_h.astype(scratch.dtype)
+                scratch[buf, pos, :, half:half + TQ] = wy_h.astype(scratch.dtype)
+                if visc_stream:
+                    vscratch[buf, pos, :, 0:TQ] = sx_h.astype(vscratch.dtype)
+                    vscratch[buf, pos, :, half:half + TQ] = sy_h.astype(
+                        vscratch.dtype)
             meta_ref[slot] = (t << META_SHIFT) + a_h
 
             @pl.when(pos == BGRP - 1)
@@ -689,25 +974,42 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,
                     # visc pair term = coef * m_j * gmag * d = coef * w
                     vx_t = coef * wx
                     vy_t = coef * wy
-            ne0 = jnp.any(valid[0:TILE])
-            ne1 = jnp.any(valid[TILE:W2])
-            emit0 = ne0 & (slot < b_max)
-            slot1 = slot + emit0.astype(jnp.int32)
-            emit1 = ne1 & (slot1 < b_max)
+            if scalar:
+                # ONE (W2, TQ) scalar-g block per window (v7): the matvec
+                # kernels reconstruct wx/wy from the statics in-kernel
+                ne = jnp.any(valid)
+                emit = ne & (slot < b_max)
+                vs = (B * g) if visc_stream else None  # B already dot-masked
 
-            if visc_stream:
-                sx0, sx1 = sx_t[0:TILE], sx_t[TILE:W2]
-                sy0, sy1 = sy_t[0:TILE], sy_t[TILE:W2]
+                @pl.when(emit)
+                def _():
+                    emit_block(slot, a, g_h=g, vs_h=vs)
+
+                slot1 = slot + emit.astype(jnp.int32)
+                emit1 = jnp.bool_(False)
+                ne_total = ne.astype(jnp.int32)
             else:
-                sx0 = sx1 = sy0 = sy1 = None
+                ne0 = jnp.any(valid[0:TILE])
+                ne1 = jnp.any(valid[TILE:W2])
+                emit0 = ne0 & (slot < b_max)
+                slot1 = slot + emit0.astype(jnp.int32)
+                emit1 = ne1 & (slot1 < b_max)
+                ne_total = ne0.astype(jnp.int32) + ne1.astype(jnp.int32)
 
-            @pl.when(emit0)
-            def _():
-                emit_half(slot, wx[0:TILE], wy[0:TILE], a, sx0, sy0)
+                if visc_stream:
+                    sx0, sx1 = sx_t[0:TILE], sx_t[TILE:W2]
+                    sy0, sy1 = sy_t[0:TILE], sy_t[TILE:W2]
+                else:
+                    sx0 = sx1 = sy0 = sy1 = None
 
-            @pl.when(emit1)
-            def _():
-                emit_half(slot1, wx[TILE:W2], wy[TILE:W2], a + TILE, sx1, sy1)
+                @pl.when(emit0)
+                def _():
+                    emit_block(slot, a, wx[0:TILE], wy[0:TILE], sx0, sy0)
+
+                @pl.when(emit1)
+                def _():
+                    emit_block(slot1, a + TILE, wx[TILE:W2], wy[TILE:W2],
+                               sx1, sy1)
 
             inv_m = 1.0 / jnp.maximum(cm, rest_eps)
             t2 = (wx * wx + wy * wy) * inv_m
@@ -735,9 +1037,7 @@ def _build_prep_kernel(starts_ref, wmeta_ref, sq_ref, sc_ref, dq_ref,
                     row8 == k, jnp.sum(term, axis=0, keepdims=True), contrib)
             acc = acc + contrib
 
-            return (slot1 + emit1.astype(jnp.int32),
-                    attempted + ne0.astype(jnp.int32) + ne1.astype(jnp.int32),
-                    acc)
+            return (slot1 + emit1.astype(jnp.int32), attempted + ne_total, acc)
 
         def level_block(li, carry):
             mbase = (t * NL + li) * WM_STRIDE
@@ -821,7 +1121,8 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
                             dyn_sorted, scale: float, b_max: int, visc_mode: str,
                             viscosity: float, wmeta=None, interpret=None,
                             wdtype=jnp.float32, want_s2=True,
-                            fuse_density=False, visc_stream=False):
+                            fuse_density=False, visc_stream=False,
+                            scalar=None):
     """Fused builder: returns (weights, (qt, anchor), cnt, prep (NT, 8, TQ))
     — plus the viscosity block set after `weights` when visc_stream is on.
 
@@ -835,7 +1136,12 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
     fuse_density: prep row 3 = the density fluid sum (mega mode; excludes
     want_s2). visc_stream: viscosity leaves the walk as rho-free pair blocks
     (consumed by visc_matvec); prep rows 6-7 stay zero.
+    scalar: emit v7 scalar-g blocks (WH, TQ) instead of [wx|wy] half-windows
+    (None = auto: scalar iff tq supports it; the resident solver consumes the
+    legacy format, so its callers pass scalar=False explicitly).
     """
+    if scalar is None:
+        scalar = scalar_blocks_supported(cfg.tq)
     assert b_max % GRP == 0 and b_max % BGRP == 0
     assert cfg.capacity <= (1 << META_SHIFT) and cfg.capacity // cfg.tq < (1 << 13)
     TQ = cfg.tq
@@ -855,16 +1161,17 @@ def build_weight_cache_prep(cfg: TileConfig, bins: TileBins, statics_sorted,
         _build_prep_kernel, cfg=cfg, scale=float(scale), b_max=b_max,
         visc_mode=visc_mode, viscosity=float(viscosity), want_s2=bool(want_s2),
         fuse_density=bool(fuse_density), visc_stream=bool(visc_stream),
-        fstat=fstat,
+        fstat=fstat, scalar=bool(scalar),
     )
-    block_sd = jax.ShapeDtypeStruct((b_max, TILE, _lane_width(TQ)), wdtype)
+    bshape = (b_max, WH, TQ) if scalar else (b_max, TILE, _lane_width(TQ))
+    block_sd = jax.ShapeDtypeStruct(bshape, wdtype)
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out_shape = [block_sd]
-    scratch_shapes = [pltpu.VMEM((2, BGRP, TILE, _lane_width(TQ)), wdtype)]
+    scratch_shapes = [pltpu.VMEM((2, BGRP) + bshape[1:], wdtype)]
     if visc_stream:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(block_sd)
-        scratch_shapes.append(pltpu.VMEM((2, BGRP, TILE, _lane_width(TQ)), wdtype))
+        scratch_shapes.append(pltpu.VMEM((2, BGRP) + bshape[1:], wdtype))
     out_specs += [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # packed block meta
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cnt

@@ -507,8 +507,10 @@ def test_matvec_small_shapes_vs_dense(C, tq):
     out-of-bounds 8-sublane store in round 4) — the capacity-growth path of the
     reference's Vec::extend (splitting.rs:56-58) starts exactly here."""
     from adaptive_sph_tpu.ops.pallas_matvec import (
-        _gmag, _w_and_gmag, build_weight_cache_prep, visc_matvec, weight_matvec,
+        _gmag, _w_and_gmag, build_weight_cache_prep, scalar_blocks_supported,
+        visc_matvec, weight_matvec,
     )
+    from adaptive_sph_tpu.ops.tiles import to_chunks
 
     n_fine = {256: 80, 512: 160, 1024: 300}[C]
     pos, h, mass, alive = _two_level_cloud(C=C, n_fine=n_fine, n_coarse=3,
@@ -521,12 +523,19 @@ def test_matvec_small_shapes_vs_dense(C, tq):
     vel = jnp.asarray(rng.normal(0, 0.4, (C, 2)).astype(np.float32))
     scale, visc = 2.0, 0.02
 
+    # tq=128 rows exercise the v7 scalar-g block format (the production
+    # default); smaller tq exercise the legacy [wx|wy] half-window format
+    if scalar_blocks_supported(tq):
+        kw = dict(statics=st, sq=jnp.swapaxes(to_chunks(st, tq), 1, 2))
+    else:
+        kw = {}
     outs = build_weight_cache_prep(
         cfg, bins, st, vel, scale, cfg.b_max, "laplace", visc,
         wdtype=jnp.float32, want_s2=False, fuse_density=True, visc_stream=True,
     )
     wcache, vcache, meta, cnt, prep = outs
     assert int(cnt[1]) == 0, "weight-cache overflow in a small-shape test"
+    assert (wcache.shape[1] == 128) == scalar_blocks_supported(tq)
 
     # dense brute-force pair weights (query i rows, candidate j cols)
     x, y, hh, m = st[:, 0], st[:, 1], st[:, 2], st[:, 3]
@@ -554,19 +563,19 @@ def test_matvec_small_shapes_vs_dense(C, tq):
 
     # accel mode: out = (sum_j wx u_j, sum_j wy u_j)
     u = jnp.asarray(rng.uniform(0, 10, C).astype(np.float32))
-    mvx, mvy = weight_matvec(wcache, meta, cnt, u[:, None], tq, k_out=2)
+    mvx, mvy = weight_matvec(wcache, meta, cnt, u[:, None], tq, k_out=2, **kw)
     check(mvx, wx @ u, "accel_x")
     check(mvy, wy @ u, "accel_y")
 
     # div mode (channel-split operands): out = sum_j (wx tx_j + wy ty_j)
     tx = jnp.asarray(rng.normal(0, 1, C).astype(np.float32))
     ty = jnp.asarray(rng.normal(0, 1, C).astype(np.float32))
-    s = weight_matvec(wcache, meta, cnt, (tx, ty), tq, k_out=1)
+    s = weight_matvec(wcache, meta, cnt, (tx, ty), tq, k_out=1, **kw)
     check(s, wx @ tx + wy @ ty, "div")
 
     # visc stream: deferred 1/(rho_i+rho_j) ApproxLaplace pair sum
     rho = jnp.asarray(rng.uniform(0.8, 1.2, C).astype(np.float32))
-    vx, vy = visc_matvec(vcache, meta, cnt, rho, tq)
+    vx, vy = visc_matvec(vcache, meta, cnt, rho, tq, **kw)
     dvx = vel[:, 0][:, None] - vel[:, 0][None, :]
     dvy = vel[:, 1][:, None] - vel[:, 1][None, :]
     dot = dx * dvx + dy * dvy
