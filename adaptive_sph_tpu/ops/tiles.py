@@ -75,10 +75,22 @@ class TileConfig:
     # geometrically, so dims need no power-of-two alignment — ceil dims keep
     # deep adaptive ladders inside the SMEM CSR budget (empty = nx0 >> l)
     dims_list: tuple = ()
+    # clique mode (ops/cliques.py): patch side in cells. 0 = legacy row-major
+    # packed layout; >= 2 = PATCH-MAJOR cell numbering with the sorted array
+    # padded to PATCH_SLOTS slots per occupied patch, plus a per-patch halo
+    # slot map — each patch's full same-level candidate set becomes exactly
+    # [own 128 slots | 128 halo slots], so the PPE operator runs as a dense
+    # batched einsum with no window walk (see ops/cliques.py).
+    patch: int = 0
+
+    def patch_dims(self, l: int):
+        """(npy, npx) patch-grid dims of level l (patch mode)."""
+        ny, nx = self.dims(l)
+        return -(-ny // self.patch), -(-nx // self.patch)
 
     @classmethod
     def from_grid(cls, g: GridConfig, mscale: float, tq: int = 32,
-                  b_max: int = 0) -> "TileConfig":
+                  b_max: int = 0, patch: int = 0) -> "TileConfig":
         if b_max <= 0:
             # ~(3 rows x 2 chunks) per tile per populated level, x2 margin, /64-group
             nt = g.capacity // tq
@@ -102,7 +114,7 @@ class TileConfig:
             origin=g.origin, cell0=g.cell0, levels=g.levels, nx0=nx0, ny0=ny0,
             capacity=g.capacity, populated=tuple(sorted(set(g.populated))),
             mscale=float(mscale), tq=int(tq), b_max=int(b_max),
-            dims_list=dims_list,
+            dims_list=dims_list, patch=int(patch),
         )
 
     def dims(self, l: int):
@@ -119,13 +131,28 @@ class TileConfig:
 
     @property
     def cell_offsets(self):
-        """Flat offsets of each populated level's cell block (cells, not slots)."""
+        """Flat offsets of each populated level's cell block (cells, not slots).
+
+        Patch mode pads each level's grid to whole patches (npx*npy*patch^2
+        cell ids, phantom cells past nx/ny stay empty) so that a patch's cells
+        are ONE aligned contiguous id block: patch_global = cell_id // patch^2."""
         offs, acc = {}, 0
         for l in self.populated:
             offs[l] = acc
-            ny, nx = self.dims(l)
-            acc += ny * nx
+            if self.patch:
+                npy, npx = self.patch_dims(l)
+                acc += npy * npx * self.patch * self.patch
+            else:
+                ny, nx = self.dims(l)
+                acc += ny * nx
         return offs, acc
+
+    @property
+    def patch_offsets(self):
+        """Patch-mode: flat offsets of each level's patch block + total patches."""
+        offs, tot = self.cell_offsets
+        P2 = self.patch * self.patch
+        return {l: o // P2 for l, o in offs.items()}, tot // P2
 
     @property
     def row_offsets(self):
@@ -144,10 +171,22 @@ class TileBins:
     pp         : (C,) original particle -> sorted slot (C = dropped/dead)
     cell_starts: (total_cells+1,) CSR starts into the sorted array, all levels
     h_max_lvl  : (8,) max h per populated-level position (0 elsewhere)
-    n_padded   : () int32 — slots in use (== alive count: the layout is packed)
-    overflow   : () int32 — always 0 in the packed layout (alive <= capacity by
-                 construction); kept for the runner's overflow-recovery API
+    n_padded   : () int32 — slots in use (alive count in the packed layout;
+                 PATCH_SLOTS * n_patches in patch mode)
+    overflow   : () int32 — dropped alive particles. Always 0 in the packed
+                 layout (alive <= capacity by construction); in patch mode
+                 counts primary drops (patch fuller than PATCH_SLOTS, or
+                 padded slots past capacity) — the runner recovers by growing
+                 capacity / re-picking the patch side
     level_overflow : () int32 — alive particles above the top populated level
+
+    Patch mode only (None otherwise):
+    halo_src   : (C,) int32 — for occupied patch o, halo_src[PATCH_SLOTS*o + r]
+                 = sorted SLOT of its r-th same-level halo particle (ring of 1
+                 cell around the patch); C where absent/dead
+    n_patches  : () int32 — occupied patches
+    halo_overflow : () int32 — halo entries dropped (patch ring fuller than
+                 PATCH_SLOTS): lost pairs, the runner must re-pick the layout
     """
 
     perm: jnp.ndarray
@@ -157,6 +196,13 @@ class TileBins:
     n_padded: jnp.ndarray
     overflow: jnp.ndarray
     level_overflow: jnp.ndarray
+    halo_src: jnp.ndarray = None
+    n_patches: jnp.ndarray = None
+    halo_overflow: jnp.ndarray = None
+
+
+PATCH_SLOTS = 128  # slots per occupied patch in the patch-major layout (and
+                   # per-patch halo slot budget): one full lane vreg
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -197,7 +243,19 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBin
     for l in P:
         coff_of = coff_of.at[l].set(coffs[l])
     lv = jnp.minimum(level, L)
-    g = jnp.where(alive, coff_of[lv] + cy * nx_of + cx, jnp.int32(total_cells))
+    if cfg.patch:
+        # PATCH-MAJOR cell numbering: a patch's P x P cells form one aligned
+        # contiguous id block (cell_offsets pads each level to whole patches)
+        PS = cfg.patch
+        npx_l = jnp.asarray(
+            [cfg.patch_dims(l)[1] for l in range(L)] + [1], jnp.int32
+        )[jnp.minimum(level, L)]
+        pidx = (cy // PS) * npx_l + (cx // PS)
+        lc = (cy % PS) * PS + (cx % PS)
+        g = jnp.where(alive, coff_of[lv] + pidx * (PS * PS) + lc,
+                      jnp.int32(total_cells))
+    else:
+        g = jnp.where(alive, coff_of[lv] + cy * nx_of + cx, jnp.int32(total_cells))
 
     # one sort carries everything (no gathers). When cell ids fit, pack
     # (cell, iota) into ONE int32 key — a single-operand sort is measurably
@@ -216,6 +274,16 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBin
         gs, src = jax.lax.sort((g, iota), num_keys=1)
 
     alive_s = gs < total_cells
+
+    # per-level h maxima (for window radius bounds); position p of level P[p]
+    hm = jnp.zeros((8,), jnp.float32)
+    for p, l in enumerate(P):
+        hm = hm.at[p].set(jnp.max(jnp.where(alive & (level == l), h, 0.0)))
+
+    if cfg.patch:
+        return _pad_patches(cfg, gs, src, alive_s, iota, hm, level_overflow,
+                            total_cells)
+
     n_alive = jnp.sum(alive_s).astype(jnp.int32)
     n_padded = n_alive
     overflow = jnp.int32(0)  # packed: alive <= capacity by construction
@@ -235,10 +303,149 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBin
     # reverse cummin fills empty cells with the next occupied cell's start
     starts = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(starts)))
 
-    # per-level h maxima (for window radius bounds); position p of level P[p]
-    hm = jnp.zeros((8,), jnp.float32)
-    for p, l in enumerate(P):
-        hm = hm.at[p].set(jnp.max(jnp.where(alive & (level == l), h, 0.0)))
+    return TileBins(
+        perm=perm,
+        pp=pp,
+        cell_starts=starts,
+        h_max_lvl=hm,
+        n_padded=n_padded,
+        overflow=overflow,
+        level_overflow=level_overflow,
+    )
+
+
+# the 8 halo directions (dy, dx): a particle at the edge of its patch is a
+# same-level halo candidate of the adjacent patch(es) — the 1-cell ring around
+# a patch is an exact superset of its same-level out-of-patch pairs because a
+# level-l pair's interaction radius 0.5*mscale*(h_i + h_j) <= cell(l) by the
+# level assignment (sr = mscale*h <= cell(l))
+_DIRS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _pad_patches(cfg: TileConfig, gs, src, alive_s, iota, hm, level_overflow,
+                 total_cells):
+    """Patch-mode tail of build_tiles: pad the sorted array to PATCH_SLOTS slots
+    per occupied patch and build the per-patch same-level halo slot map.
+
+    All pure XLA on the fixed (C//PATCH_SLOTS, PATCH_SLOTS) row structure:
+    segment ranks via per-row cumsums, neighbor lookups via tiny (rows, 8)
+    gathers — no extra sorts and no (C,)-sized gathers.
+    """
+    C = gs.shape[0]
+    PS = cfg.patch
+    P2 = PS * PS
+    NB = C // PATCH_SLOTS
+    NL = len(cfg.populated)
+    poffs, TOTP = cfg.patch_offsets
+    coffs, _ = cfg.cell_offsets
+
+    # ---- pad each occupied patch to PATCH_SLOTS slots
+    pg = gs // P2  # patch-global id per sorted entry (garbage where dead)
+    is_first = alive_s & (pg != jnp.concatenate([pg[:1] - 1, pg[:-1]]))
+    o = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # occupied patch index
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, iota, -1))
+    r = iota - seg_start
+    n_patches = jnp.sum(is_first).astype(jnp.int32)
+    d = o * PATCH_SLOTS + r
+    ok = alive_s & (r < PATCH_SLOTS) & (d < C)
+    overflow = jnp.sum(alive_s & ~ok).astype(jnp.int32)
+    n_padded = jnp.minimum(n_patches * PATCH_SLOTS, C)
+
+    drop = jnp.where(ok, d, C)
+    perm = jnp.full((C,), C, jnp.int32).at[drop].set(src, mode="drop")
+    pp = jnp.full((C,), C, jnp.int32).at[jnp.where(ok, src, C)].set(
+        d, mode="drop")
+    g_p = jnp.full((C,), total_cells, jnp.int32).at[drop].set(gs, mode="drop")
+
+    # CSR over padded slots: padding between patches implicitly extends the
+    # previous patch's last occupied cell (walk kernels mask padding by h == 0)
+    is_first_cell = gs != jnp.concatenate([gs[:1] - 1, gs[:-1]])
+    starts = jnp.full((total_cells + 1,), jnp.int32(2**30), jnp.int32)
+    tgt = jnp.where(ok & is_first_cell, gs, total_cells + 1)
+    starts = starts.at[tgt].set(d, mode="drop")
+    starts = starts.at[total_cells].min(n_padded)
+    starts = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(starts)))
+
+    # ---- per padded slot: patch-local cell coords (elementwise from g_p)
+    real = g_p < total_cells
+    bounds = [coffs[l] for l in cfg.populated] + [total_cells]
+    lvl_pos = jnp.zeros((C,), jnp.int32)
+    for p in range(1, NL):
+        lvl_pos = lvl_pos + (g_p >= bounds[p]).astype(jnp.int32)
+    sel = lambda arr: sum(  # noqa: E731  tiny static-table select
+        jnp.where(lvl_pos == p, jnp.int32(arr[p]), 0) for p in range(NL))
+    coff_s = sel([coffs[l] for l in cfg.populated])
+    poff_s = sel([poffs[l] for l in cfg.populated])
+    npx_s = sel([cfg.patch_dims(l)[1] for l in cfg.populated])
+    npy_s = sel([cfg.patch_dims(l)[0] for l in cfg.populated])
+    rel = g_p - coff_s
+    pidx = rel // P2
+    lc = rel - pidx * P2
+    pcy = lc // PS
+    pcx = lc - pcy * PS
+    pid = poff_s + pidx
+
+    # ---- per-row (occupied patch) metadata
+    rows = jnp.arange(NB, dtype=jnp.int32)
+    real_row = real.reshape(NB, PATCH_SLOTS)
+    row_occ = real_row[:, 0]  # slot 0 of an occupied patch is always real
+    pid_row = jnp.where(row_occ, pid.reshape(NB, PATCH_SLOTS)[:, 0], TOTP)
+    px_row = (pidx - (pidx // npx_s) * npx_s).reshape(NB, PATCH_SLOTS)[:, 0]
+    py_row = (pidx // npx_s).reshape(NB, PATCH_SLOTS)[:, 0]
+    npx_row = npx_s.reshape(NB, PATCH_SLOTS)[:, 0]
+    npy_row = npy_s.reshape(NB, PATCH_SLOTS)[:, 0]
+    # patch-id -> occupied row index (NB = unoccupied)
+    po = jnp.full((TOTP + 1,), NB, jnp.int32).at[pid_row].set(rows, mode="drop")
+
+    # ---- halo membership per direction (edge/corner cells of the patch)
+    halo_src = jnp.full((C,), C, jnp.int32)
+    halo_overflow = jnp.int32(0)
+    o_dest = []
+    cnt_d = []
+    member_d = []
+    for dy, dx in _DIRS:
+        m = real
+        if dx < 0:
+            m = m & (pcx == 0)
+        elif dx > 0:
+            m = m & (pcx == PS - 1)
+        if dy < 0:
+            m = m & (pcy == 0)
+        elif dy > 0:
+            m = m & (pcy == PS - 1)
+        vr = row_occ & (py_row + dy >= 0) & (py_row + dy < npy_row) \
+            & (px_row + dx >= 0) & (px_row + dx < npx_row)
+        od = jnp.where(vr, po[jnp.clip(pid_row + dy * npx_row + dx, 0, TOTP)],
+                       NB)
+        o_dest.append(od)  # (NB,)
+        mr = m.reshape(NB, PATCH_SLOTS)
+        cnt_d.append(jnp.sum(mr.astype(jnp.int32), axis=1))
+        member_d.append(m)
+    o_dest = jnp.stack(o_dest, axis=1)   # (NB, 8) dest row per direction
+    cnt = jnp.stack(cnt_d, axis=1)       # (NB, 8) members leaving per dir
+
+    # arriving[dest, d] = cnt[src_row(dest, d), d]: exactly one source row per
+    # (dest, direction), so a plain scatter builds it
+    arriving = jnp.zeros((NB + 1, 8), jnp.int32)
+    dcol = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None, :], (NB, 8))
+    arriving = arriving.at[
+        jnp.where(o_dest < NB, o_dest, NB), dcol
+    ].set(jnp.where(o_dest < NB, cnt, 0))
+    base = jnp.cumsum(arriving, axis=1) - arriving  # exclusive over directions
+    base_at_src = base[jnp.where(o_dest < NB, o_dest, NB), dcol]  # (NB, 8)
+
+    for di in range(8):
+        m = member_d[di]
+        mr = m.reshape(NB, PATCH_SLOTS).astype(jnp.int32)
+        rank = (jnp.cumsum(mr, axis=1) - mr).reshape(C)
+        off = jnp.repeat(base_at_src[:, di], PATCH_SLOTS) + rank
+        odp = jnp.repeat(o_dest[:, di], PATCH_SLOTS)
+        valid = m & (odp < NB) & (off < PATCH_SLOTS)
+        halo_overflow = halo_overflow + jnp.sum(
+            m & (odp < NB) & (off >= PATCH_SLOTS)).astype(jnp.int32)
+        hs = odp * PATCH_SLOTS + off
+        halo_src = halo_src.at[jnp.where(valid, hs, C)].set(iota, mode="drop")
 
     return TileBins(
         perm=perm,
@@ -248,6 +455,9 @@ def build_tiles(position, sr, h, alive, cfg: TileConfig, origin=None) -> TileBin
         n_padded=n_padded,
         overflow=overflow,
         level_overflow=level_overflow,
+        halo_src=halo_src,
+        n_patches=n_patches,
+        halo_overflow=halo_overflow,
     )
 
 
@@ -304,7 +514,7 @@ GW = 8  # hull-group width (lanes): tiles span multiple cell rows in the packed
 
 
 def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
-                  tq=None):
+                  tq=None, cross_only=False):
     """Per-tile flat candidate-range descriptors (kernel scalar prefetch).
 
     Returns (wm, collapsed):
@@ -333,6 +543,15 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
     passes cfg.tq // 2: ranges per 64-query half are tighter than per full
     tile (the hull slop is ~group_span + 2*support, so halving the group
     width cuts the walked-but-invalid area by roughly a third).
+
+    PATCH MODE (cfg.patch > 0): ranges are emitted at PATCH-ROW granularity —
+    candidate patch row py's range spans whole patches [pxlo..pxhi], whose
+    P*P cell blocks are contiguous ids — because in patch-major numbering a
+    geometric cell row is not contiguous. Padding slots inside ranges are
+    masked by the kernels' h > 0 gate. cross_only additionally zeroes each
+    tile's OWN-level entry (tiles are level-pure patches): the clique operator
+    (ops/cliques.py) owns the same-level pairs, the walk only the cross-level
+    remainder.
     """
     TQ = int(tq) if tq else cfg.tq
     NT = cfg.capacity // TQ
@@ -360,10 +579,28 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
     ibig = jnp.int32(2**30)
     collapsed = jnp.int32(0)
     metas = []
+    if cross_only:
+        # per-tile own level POSITION (tiles are level-pure patches): same
+        # ladder snap as build_tiles, from the tile's h maximum
+        assert cfg.patch and TQ == cfg.tq
+        hmax_t = jnp.max(hmax_g, axis=1)  # (NT,)
+        ratio_t = jnp.maximum(hmax_t * jnp.float32(cfg.mscale) / cfg.cell0, 1.0)
+        lvl_t = jnp.ceil(jnp.log2(ratio_t) - 1e-6).astype(jnp.int32)
+        pop = jnp.asarray(cfg.populated, jnp.int32)
+        own_pos = jnp.sum(lvl_t[:, None] > pop[None, :], axis=1)
+        own_pos = jnp.clip(own_pos, 0, len(cfg.populated) - 1)
     for p, l in enumerate(cfg.populated):
-        ny, nx = cfg.dims(l)
+        if cfg.patch:
+            # patch-row granularity: "rows" are patch rows, "x units" patches,
+            # each spanning P*P contiguous cell ids
+            ny, nx = cfg.patch_dims(l)
+            unit = cfg.patch * cfg.patch
+            cellsz = jnp.float32(cfg.cell(l) * cfg.patch)
+        else:
+            ny, nx = cfg.dims(l)
+            unit = 1
+            cellsz = jnp.float32(cfg.cell(l))
         coff = jnp.int32(cfg.cell_offsets[0][l])
-        cellsz = jnp.float32(cfg.cell(l))
         rad = 0.5 * jnp.float32(cfg.mscale) * (hmax_g + bins.h_max_lvl[p])
         cylo = jnp.clip(jnp.floor((ymin - oy - rad) / cellsz).astype(jnp.int32), 0, ny - 1)
         cyhi = jnp.clip(jnp.floor((ymax - oy + rad) / cellsz).astype(jnp.int32), 0, ny - 1)
@@ -372,6 +609,8 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
         ylo_t = jnp.min(jnp.where(alive_g, cylo, ibig), axis=1)  # (NT,)
         yhi_t = jnp.max(jnp.where(alive_g, cyhi, -1), axis=1)
         alive_t = jnp.any(alive_g, axis=1)
+        if cross_only:
+            alive_t = alive_t & (own_pos != p)
         nrows = jnp.where(alive_t, yhi_t - ylo_t + 1, 0)
         collapse = nrows > RL
         collapsed = collapsed + jnp.sum(collapse.astype(jnp.int32))
@@ -386,8 +625,8 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
         xlo_k = jnp.min(jnp.where(reach, cxlo[:, None, :], ibig), axis=2)
         xhi_k = jnp.max(jnp.where(reach, cxhi[:, None, :], -1), axis=2)
         row_live = jnp.any(reach, axis=2)
-        a = coff + yk * nx + xlo_k
-        b = coff + yk * nx + xhi_k + 1
+        a = coff + (yk * nx + xlo_k) * unit
+        b = coff + (yk * nx + xhi_k + 1) * unit
         a = jnp.where(row_live, a, total_cells)
         b = jnp.where(row_live, b, total_cells)
         # collapse: one spanning pair from the first row's window start to the
@@ -396,8 +635,8 @@ def window_ranges(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None,
         reach_hi = alive_g & (cylo <= yhi_t[:, None]) & (yhi_t[:, None] <= cyhi)
         xlo_first = jnp.min(jnp.where(reach_lo, cxlo, ibig), axis=1)
         xhi_last = jnp.max(jnp.where(reach_hi, cxhi, -1), axis=1)
-        a_span = coff + ylo_t * nx + xlo_first
-        b_span = coff + yhi_t * nx + xhi_last + 1
+        a_span = coff + (ylo_t * nx + xlo_first) * unit
+        b_span = coff + (yhi_t * nx + xhi_last + 1) * unit
         first = kk[None, :] == 0
         a = jnp.where(collapse[:, None] & first, a_span[:, None], a)
         b = jnp.where(collapse[:, None] & first, b_span[:, None], b)
