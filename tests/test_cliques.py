@@ -155,3 +155,130 @@ def test_patch_layout_pair_coverage(seed, n, C, two):
         if not covered[slot[i] // cfg.tq, slot[j]]:
             missed_x += 1
     assert missed_x == 0, f"{missed_x} cross-level pairs not in cross ranges"
+
+
+def _sorted_setup(seed, n, C, two, scale=2.0, patch=4):
+    pos, h, mass, alive = _scene(seed, n, C, two)
+    cfg = _cfg(pos, h, alive, C, scale, patch)
+    hj = jnp.asarray(np.where(alive, h, 0))
+    bins = jax.jit(lambda p, hh, a: build_tiles(
+        p, hh * jnp.float32(cfg.mscale), hh, a, cfg))(
+        jnp.asarray(pos), hj, jnp.asarray(alive))
+    assert int(bins.overflow) == 0 and int(bins.halo_overflow) == 0
+    st = jax.jit(lambda: sort_fields(bins, [
+        jnp.asarray(pos), hj, jnp.asarray(mass)]))()
+    return cfg, bins, st
+
+
+def test_clique_build_matches_bruteforce_sums():
+    from adaptive_sph_tpu.ops import cliques
+    from adaptive_sph_tpu.ops.pallas_sweeps import SweepOp, sweep_bruteforce
+
+    scale = 2.0
+    cfg, bins, st = _sorted_setup(3, 900, 4096, two=False)
+    wx, wy, s1x, s1y, s1sq, den = jax.jit(
+        lambda: cliques.clique_build(cfg, bins, st, scale, jnp.float32))()
+
+    def emit(q, c, ctx):
+        gx, gy = ctx.gx, ctx.gy
+        m = c["mass"]
+        return [m * ctx.w, m * gx, m * gy,
+                (m * gx) ** 2 / jnp.maximum(m, 1e-30)
+                + (m * gy) ** 2 / jnp.maximum(m, 1e-30)]
+
+    ref = np.asarray(sweep_bruteforce(
+        cfg, st, None, SweepOp(name="ref", n_out=4, emit=emit), scale))
+    np.testing.assert_allclose(np.asarray(den), ref[:, 0], rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1x), ref[:, 1], rtol=2e-5, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s1y), ref[:, 2], rtol=2e-5, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s1sq), ref[:, 3], rtol=2e-4, atol=1e-1)
+
+
+def test_clique_matvec_matches_bruteforce_two_level():
+    from adaptive_sph_tpu.ops import cliques
+    from adaptive_sph_tpu.ops.pallas_matvec import build_weight_cache_prep
+    from adaptive_sph_tpu.ops.pallas_sweeps import SweepOp, sweep_bruteforce
+
+    scale = 2.0
+    cfg, bins, st = _sorted_setup(4, 900, 4096, two=True)
+    C = cfg.capacity
+    wx, wy, s1x, s1y, s1sq, den = jax.jit(
+        lambda: cliques.clique_build(cfg, bins, st, scale, jnp.float32))()
+
+    # cross-level blocks via the streamed builder on cross_only ranges
+    wm_cross, _ = jax.jit(
+        lambda s: window_ranges(cfg, bins, s, cross_only=True))(st)
+    vel = jnp.zeros((C, 2), jnp.float32)
+    wc, meta, cnt, prep = jax.jit(lambda: build_weight_cache_prep(
+        cfg, bins, st, vel, scale, cfg.b_max, "none", 0.0, wmeta=wm_cross,
+        wdtype=jnp.float32, want_s2=False, fuse_density=True, scalar=False))()
+    assert int(cnt[1]) == 0
+    wxc, wyc, src, dst, xovf = jax.jit(
+        lambda: cliques.cross_pack(wc, meta, cnt, cfg.tq, 64))()
+    assert int(xovf) == 0
+    op = cliques.CliqueOperator(wx=wx, wy=wy, bins=bins, wxc=wxc, wyc=wyc,
+                                src=src, dst=dst)
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    tx = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    ty = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    mvx, mvy = jax.jit(op.matvec2)(u)
+    s = jax.jit(op.matvec_div)(tx, ty)
+
+    def emit_mv(q, c, ctx):
+        m = c["mass"]
+        return [m * ctx.gx * c["u"], m * ctx.gy * c["u"],
+                m * (ctx.gx * c["tx"] + ctx.gy * c["ty"])]
+
+    ref = np.asarray(sweep_bruteforce(
+        cfg, st, jnp.stack([u, tx, ty], axis=1),
+        SweepOp(name="mv", n_out=3, dyn_names=("u", "tx", "ty"), emit=emit_mv),
+        scale))
+    # full sums = clique (same-level) + cross blocks; prep row 0/1 check too
+    np.testing.assert_allclose(np.asarray(mvx), ref[:, 0], rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(mvy), ref[:, 1], rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s), ref[:, 2], rtol=2e-4, atol=2e-2)
+
+    # prep sums: clique + cross builder rows must equal brute force
+    def emit_p(q, c, ctx):
+        m = c["mass"]
+        return [m * ctx.gx, m * ctx.gy, m * ctx.w]
+
+    refp = np.asarray(sweep_bruteforce(
+        cfg, st, None, SweepOp(name="p", n_out=3, emit=emit_p), scale))
+    NT = C // cfg.tq
+    prep = np.asarray(prep)
+    tot_x = np.asarray(s1x) + prep[:, 0, :].reshape(C)
+    tot_y = np.asarray(s1y) + prep[:, 1, :].reshape(C)
+    tot_d = np.asarray(den) + prep[:, 3, :].reshape(C)
+    np.testing.assert_allclose(tot_x, refp[:, 0], rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(tot_y, refp[:, 1], rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(tot_d, refp[:, 2], rtol=2e-5, atol=1e-3)
+
+
+def test_clique_visc_matches_bruteforce():
+    from adaptive_sph_tpu.models import tile_physics as tp
+    from adaptive_sph_tpu.ops import cliques
+    from adaptive_sph_tpu.ops.pallas_sweeps import sweep_bruteforce
+    from adaptive_sph_tpu.utils.params import SimulationParams, ViscosityType
+
+    scale = 2.0
+    cfg, bins, st = _sorted_setup(5, 900, 4096, two=False)
+    C = cfg.capacity
+    rng = np.random.default_rng(1)
+    vx = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    vy = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    rho = jnp.asarray((1000.0 + 30 * rng.standard_normal(C)).astype(np.float32))
+    for vt, mode in ((ViscosityType.WCSPH, "wcsph"),
+                     (ViscosityType.ApproxLaplace, "laplace")):
+        params = SimulationParams(viscosity_type=vt, viscosity=0.02)
+        ax, ay = jax.jit(lambda m=mode: cliques.clique_visc(
+            cfg, bins, st, vx, vy, rho, scale, m, 0.02))()
+        ref = np.asarray(sweep_bruteforce(
+            cfg, st, jnp.stack([rho, vx, vy], axis=1), tp.visc_op(params),
+            scale))
+        np.testing.assert_allclose(np.asarray(ax), ref[:, 0], rtol=2e-4,
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(ay), ref[:, 1], rtol=2e-4,
+                                   atol=2e-3)
