@@ -318,7 +318,14 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         or params.resident_solver
         or _os.environ.get("ASPH_RESIDENT_SOLVER", "0") == "1"
     )
-    mega = use_wcache and not need_s2
+    # clique mode (ops/cliques.py): same-level pairs as dense batched einsums
+    # on the patch-major layout; cross-level pairs stay on the streamed
+    # builder over cross_only window ranges. Runner enables via tcfg.patch.
+    clique = tcfg.patch > 0
+    if clique:
+        assert halo is None and use_wcache and not need_s2, \
+            "runner must not enable patch mode for slab/w2020/resident configs"
+    mega = use_wcache and not need_s2 and not clique
     wdtype = jnp.bfloat16 if params.weight_cache_bf16 else jnp.float32
     rho_s = cf_s = None
     # v7 scalar-g blocks (mega path only; the resident solver and the
@@ -341,7 +348,67 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         wc_sq = jnp.swapaxes(_to_chunks(st, tcfg.tq), 1, 2)  # (NT, F, TQ)
     else:
         wc_st = wc_sq = None
-    if mega:
+    clq = None
+    if clique:
+        from ..ops import cliques
+        from ..ops.pallas_matvec import build_weight_cache_prep, visc_matvec
+        from ..ops.tiles import window_ranges
+
+        visc_stream = vm != "none" and float(params.viscosity) != 0.0
+        multi = len(tcfg.populated) > 1
+        cwx, cwy, s1x_cl, s1y_cl, s1sq_cl, den_cl = cliques.clique_build(
+            tcfg, bins, st, pscale, wdtype)
+        zeros_cl = jnp.zeros_like(den_cl)
+        if multi:
+            # cross-level remainder: streamed builder on cross_only ranges,
+            # converted once per step into extra einsum entries
+            nx_cap = int(_os.environ.get(
+                "ASPH_NX_CAP", 64 if len(tcfg.populated) == 2 else 256))
+            wm_cross, _ = window_ranges(tcfg, bins, st, origin=origin,
+                                        cross_only=True)
+            outs = build_weight_cache_prep(
+                tcfg, bins, st, col("vel"), pscale, tcfg.b_max,
+                vm if visc_stream else "none", params.viscosity,
+                wmeta=wm_cross, wdtype=wdtype, want_s2=False,
+                fuse_density=True, visc_stream=visc_stream, scalar=False)
+            if visc_stream:
+                wcache_x, vcache_x, meta_x, cnt_x, res_x = outs
+            else:
+                wcache_x, meta_x, cnt_x, res_x = outs
+                vcache_x = None
+            diag["wcache_overflow"] = psum(cnt_x[1])
+            wxc, wyc, xsrc, xdst, xovf = cliques.cross_pack(
+                wcache_x, meta_x, cnt_x, tcfg.tq, nx_cap)
+            diag["clique_overflow"] = psum(xovf + bins.halo_overflow)
+
+            def xch(k):
+                return res_x[:, k, :].reshape(-1)
+        else:
+            wxc = wyc = xsrc = xdst = vcache_x = meta_x = cnt_x = None
+            diag["clique_overflow"] = psum(bins.halo_overflow)
+
+            def xch(k):
+                return zeros_cl
+        clq = cliques.CliqueOperator(wx=cwx, wy=cwy, bins=bins, wxc=wxc,
+                                     wyc=wyc, src=xsrc, dst=xdst)
+        # 10. density (simulation.rs:2204): clique sum + cross row 3 + boundary
+        rho_s = den_cl + xch(3) + bdens_s
+        rho_s = jnp.where(alive_s, rho_s, 1.0)
+        s2x = s2y = s2sq = zeros_cl
+        visc_x = visc_y = zeros_cl
+        if visc_stream:
+            visc_x, visc_y = cliques.clique_visc(
+                tcfg, bins, st, vx_s, vy_s, rho_s, pscale, vm,
+                params.viscosity)
+            if multi:
+                vxx, vyy = visc_matvec(vcache_x, meta_x, cnt_x, rho_s, tcfg.tq)
+                visc_x = visc_x + vxx
+                visc_y = visc_y + vyy
+        _prep_cl = (s1x_cl + xch(0), s1y_cl + xch(1), s1sq_cl + xch(2))
+
+        def pch(k):
+            return _prep_cl[k]
+    elif mega:
         from ..ops.pallas_matvec import build_weight_cache_prep, visc_matvec
 
         visc_stream = vm != "none" and float(params.viscosity) != 0.0
@@ -455,7 +522,26 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     # (ax, ay), div_fn takes (qx, qy). 1-D f32 arrays tile DENSE (T(1024));
     # interleaved (C, 2) intermediates tile (8, 128) with 2/128 lanes used, and
     # the profiler showed every elementwise chain on them costing 40-90 us.
-    if use_wcache:
+    if clique:
+        # Pallas-free Jacobi sweeps: batched einsums + one halo row-gather per
+        # operand (+ the converted cross-level entries). Same math as the
+        # streamed path (simulation.rs:1207-1322); non-w2020 only (asserted).
+        rho_inv = 1.0 / jnp.maximum(rho_s, 1e-30)
+
+        def accel_fn(p):
+            u = p * rho_inv * rho_inv
+            mvx, mvy = clq.matvec2(u)
+            bx, by = gp.boundary_accel_slots_1d(Gx_s, Gy_s, p, rho_s, bt.kind,
+                                                params)
+            return -u * s1x - mvx + bx, -u * s1y - mvy + by
+
+        def div_fn(qx, qy):
+            s = clq.matvec_div(qx, qy)
+            s = (s - (qx * s1x + qy * s1y)) * rho_inv
+            return s + gp.boundary_div_slots_1d(Gx_s, Gy_s, qx, qy, rho_s,
+                                                bt.kind, params)
+
+    elif use_wcache:
         from ..ops.pallas_matvec import weight_matvec
 
         rho_inv = 1.0 / jnp.maximum(rho_s, 1e-30)
@@ -510,7 +596,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     p_prev_s = col("pressure") if warm else None
     pdiv_prev_s = col("pressure_div") if warm else None
 
-    if use_wcache:
+    if use_wcache and not clique:
         from ..ops.pallas_jacobi import resident_supported
 
         resident = (

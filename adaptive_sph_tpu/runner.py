@@ -43,6 +43,7 @@ class Simulation:
     grid_cfg: object = None
     backend: str = "auto"
     split_patterns: object = None
+    clique_disabled: bool = False  # set after a halo/cross overflow fallback
 
     @property
     def time(self) -> float:
@@ -71,6 +72,12 @@ class Simulation:
         if self.check_invariants:
             ro, co, lo = (int(x) for x in diag["neighbor_overflow"])
             wo = int(diag.get("wcache_overflow", 0))
+            if int(diag.get("clique_overflow", 0)) > 0 and _retries > 0:
+                # halo ring / cross-block budget exceeded: pairs were dropped,
+                # so the computed step is invalid — recompile on the legacy
+                # layout and re-run it (state has not advanced)
+                self._disable_clique()
+                return self.step(_retries=_retries - 1)
             if (ro > 0 or co > 0 or wo > 0) and lo == 0 and (
                 self.backend == "tiles" and _retries > 0
             ):
@@ -121,6 +128,17 @@ class Simulation:
             self.counters.add_value("density-iterations", float(diag["density_iterations"]))
         return diag
 
+    def _disable_clique(self):
+        """Fallback after a halo/cross-budget overflow: recompile the step on
+        the legacy packed layout (patch=0) and keep it off for this run."""
+        self.clique_disabled = True
+        self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = _compile_step(
+            self.params, self.scene, self.state, self.backend,
+            self.boundary_handler, self.split_patterns, no_patch=True,
+        )
+        self._chunked = {}
+        self.counters.add_value("clique-fallback", 1.0)
+
     def grow_capacity(self, factor: int = 2):
         """Double the fixed particle capacity and recompile the step.
 
@@ -136,6 +154,7 @@ class Simulation:
         self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = _compile_step(
             self.params, self.scene, self.state, self.backend,
             self.boundary_handler, self.split_patterns,
+            no_patch=self.clique_disabled,
         )
         self._chunked = {}
         self.counters.add_value("capacity-growth", float(new_cap))
@@ -159,6 +178,7 @@ class Simulation:
         step_fn, ncfg, tile_cfg, grid_cfg = _compile_step(
             params, self.scene, self.state, self.backend,
             self.boundary_handler, self.split_patterns,
+            no_patch=self.clique_disabled,
         )
         self.params = params
         self.step_fn, self.ncfg, self.tile_cfg, self.grid_cfg = (
@@ -210,6 +230,11 @@ class Simulation:
         if self.check_invariants:
             ro, co, lo = (int(np.max(np.asarray(x))) for x in diags["neighbor_overflow"])
             wo = int(np.max(np.asarray(diags.get("wcache_overflow", 0))))
+            if int(np.max(np.asarray(diags.get("clique_overflow", 0)))) > 0 \
+                    and _retries > 0:
+                self.state = entering  # dropped halo/cross pairs; discard chunk
+                self._disable_clique()
+                return self.step_chunk(n, _retries=_retries - 1)
             if (ro > 0 or co > 0 or wo > 0) and lo == 0 and (
                 self.backend == "tiles" and _retries > 0
             ):
@@ -325,6 +350,87 @@ def _initial_max_occupancy(state, params, gcfg, host=None) -> int:
         _, counts = np.unique(cx + (cy << 24), return_counts=True)
         occ = max(occ, int(counts.max()))
     return occ
+
+
+def _tile_patch(state, params, gcfg, capacity: int, tq: int, host=None) -> int:
+    """Pick the clique patch side (cells) for the patch-major layout, 0 = off.
+
+    Enabled when the scene's per-patch and per-ring occupancies fit the 128
+    slot budgets with headroom and the padded layout fits the capacity (see
+    ops/cliques.py). Resampling configs stay on the legacy layout for now
+    (levels shift every step; ASPH_CLIQUE=force overrides), as do
+    Winchenbach2020 / resident-solver configs (tile_step gates them out).
+    """
+    from .models.grid_step import max_scale
+    from .models.state import h_from_mass_np
+    from .utils.params import OperatorDiscretization
+
+    mode = os.environ.get("ASPH_CLIQUE", "1")
+    if mode == "0" or tq != 128 or capacity % 128 != 0:
+        return 0
+    if params.operator_discretization == OperatorDiscretization.Winchenbach2020:
+        return 0
+    if params.resident_solver or os.environ.get("ASPH_RESIDENT_SOLVER") == "1":
+        return 0
+    if os.environ.get("ASPH_NO_WCACHE") == "1":
+        return 0
+    adaptive_resample = params.particle_sizes == ParticleSizes.Adaptive and (
+        params.splitting or params.merging or params.sharing)
+    if adaptive_resample and mode != "force":
+        return 0
+
+    if host is None:
+        host = dict(zip(("mass", "position", "alive"),
+                        jax.device_get((state.mass, state.position, state.alive))))
+    pos = host["position"][host["alive"]]
+    if len(pos) == 0:
+        return 0
+    if params.particle_sizes == ParticleSizes.Uniform:
+        h = np.full(len(pos), params.h, np.float32)
+    else:
+        h = h_from_mass_np(host["mass"][host["alive"]], params.rest_density, 2)
+    sr = h * max_scale(params)
+    level = np.clip(
+        np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int),
+        0, gcfg.levels - 1)
+    HEADROOM = 1.35  # compression margin over the initial occupancies
+    for P in (8, 6, 5, 4, 3, 2):
+        ok = True
+        n_patches = 0
+        for l in np.unique(level):
+            sel = level == l
+            cell = gcfg.cell(int(l))
+            cx = np.floor((pos[sel, 0] - gcfg.origin[0]) / cell).astype(np.int64)
+            cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
+            key = (cx // P) + ((cy // P) << 24)
+            pk, counts = np.unique(key, return_counts=True)
+            n_patches += len(pk)
+            if counts.max() * HEADROOM > 128:
+                ok = False
+                break
+            # ring occupancy: per occupied patch, particles in the 1-cell ring
+            cellmap = {}
+            ck = cx + (cy << 24)
+            for k, c in zip(*np.unique(ck, return_counts=True)):
+                cellmap[int(k)] = int(c)
+            for k in pk:
+                px, py = int(k & 0xFFFFFF), int(k >> 24)
+                ring = 0
+                x0, y0 = px * P - 1, py * P - 1
+                for xx in range(x0, x0 + P + 2):
+                    ring += cellmap.get(xx + (y0 << 24), 0)
+                    ring += cellmap.get(xx + ((y0 + P + 1) << 24), 0)
+                for yy in range(y0 + 1, y0 + P + 1):
+                    ring += cellmap.get(x0 + (yy << 24), 0)
+                    ring += cellmap.get((x0 + P + 1) + (yy << 24), 0)
+                if ring * HEADROOM > 128:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok and n_patches * 128 * 1.25 <= capacity:
+            return P
+    return 0
 
 
 def _tile_tq(state, params, gcfg, host=None) -> int:
@@ -461,7 +567,7 @@ def create_simulation(
 
 
 def _compile_step(params, scene, state, backend, boundary_handler, split_patterns,
-                  row_width=None, host=None):
+                  row_width=None, host=None, no_patch=False):
     """Build the per-capacity static configs and the jitted step for `backend`."""
     if host is None:
         host = dict(zip(("mass", "position", "alive"),
@@ -481,7 +587,10 @@ def _compile_step(params, scene, state, backend, boundary_handler, split_pattern
         assert state.capacity % 64 == 0, "tile backend needs capacity % 64 == 0"
         gcfg = grid_config_for(params, scene, state, state.capacity, host=host)
         tq = _tile_tq(state, params, gcfg, host=host)
-        tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq)
+        patch = 0 if no_patch else _tile_patch(
+            state, params, gcfg, state.capacity, tq, host=host)
+        tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq,
+                                        patch=patch)
         # the CSR cell_starts, the per-tile range descriptors, and the packed
         # weight-cache block meta are all prefetched SMEM operands; Mosaic caps
         # SMEM at 1 MiB — configs beyond it take the neighbor-list backend

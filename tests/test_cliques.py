@@ -282,3 +282,58 @@ def test_clique_visc_matches_bruteforce():
                                    atol=2e-3)
         np.testing.assert_allclose(np.asarray(ay), ref[:, 1], rtol=2e-4,
                                    atol=2e-3)
+
+
+def test_full_step_clique_vs_legacy_tiles(monkeypatch):
+    """Full tile-backend steps with the clique operator vs the legacy walk:
+    same physics to f32 association tolerance (stress-like two-level scene,
+    adaptivity off — the bench configuration's structure)."""
+    from scipy.spatial import cKDTree
+
+    from adaptive_sph_tpu.models import scene as scene_mod
+    from adaptive_sph_tpu.runner import create_simulation
+    from adaptive_sph_tpu.utils.params import (
+        InitBoundaryHandlerType, ParticleSizes, PressureSolverMethod,
+        SimulationParams,
+    )
+
+    scene = scene_mod.scene_from_dict({
+        "boundary": {"type": "box", "width": 2, "height": 2},
+        "blocks": [
+            {"pos": [0.2, -0.5], "size": [0.6, 1.0], "spacing": 0.03,
+             "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+            {"pos": [-0.95, -0.5], "size": [0.6, 1.0], "spacing": 0.12,
+             "volume_fill_ratio": 0.93, "velocity": [0, 0]},
+        ],
+    })
+    params = SimulationParams(
+        particle_sizes=ParticleSizes.Adaptive,
+        pressure_solver_method=PressureSolverMethod.HybridDFSPH,
+        init_boundary_handler=InitBoundaryHandlerType.AnalyticOverestimate,
+        merging=False, sharing=False, splitting=False, max_iters=60,
+    )
+    states = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("ASPH_CLIQUE", mode)
+        sim = create_simulation(params, scene, capacity=4096, backend="tiles")
+        if mode == "1":
+            assert sim.tile_cfg.patch > 0, "clique mode must engage here"
+        else:
+            assert sim.tile_cfg.patch == 0
+        for _ in range(3):
+            d = sim.step()
+            assert int(d.get("clique_overflow", 0)) == 0
+        states[mode] = sim.state
+    a, b = states["1"], states["0"]
+    assert int(a.n) == int(b.n)
+    pa = np.asarray(a.position)[np.asarray(a.alive)]
+    pb = np.asarray(b.position)[np.asarray(b.alive)]
+    d, j = cKDTree(pb).query(pa, k=1)
+    assert (np.sort(j) == np.arange(len(pb))).all()
+    np.testing.assert_allclose(pa, pb[j], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.density)[np.asarray(a.alive)],
+        np.asarray(b.density)[np.asarray(b.alive)][j], rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.velocity)[np.asarray(a.alive)],
+        np.asarray(b.velocity)[np.asarray(b.alive)][j], atol=2e-4)
