@@ -352,12 +352,13 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
     if clique:
         from ..ops import cliques
         from ..ops.pallas_matvec import build_weight_cache_prep, visc_matvec
-        from ..ops.tiles import window_ranges
+        from ..ops.tiles import build_halo, window_ranges
 
         visc_stream = vm != "none" and float(params.viscosity) != 0.0
         multi = len(tcfg.populated) > 1
+        hs_map, halo_ovf = build_halo(tcfg, bins, st, origin=origin)
         cwx, cwy, s1x_cl, s1y_cl, s1sq_cl, den_cl = cliques.clique_build(
-            tcfg, bins, st, pscale, wdtype)
+            tcfg, hs_map, st, pscale, wdtype)
         zeros_cl = jnp.zeros_like(den_cl)
         if multi:
             # cross-level remainder: streamed builder on cross_only ranges,
@@ -379,17 +380,17 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
             diag["wcache_overflow"] = psum(cnt_x[1])
             wxc, wyc, xsrc, xdst, xovf = cliques.cross_pack(
                 wcache_x, meta_x, cnt_x, tcfg.tq, nx_cap)
-            diag["clique_overflow"] = psum(xovf + bins.halo_overflow)
+            diag["clique_overflow"] = psum(xovf + halo_ovf)
 
             def xch(k):
                 return res_x[:, k, :].reshape(-1)
         else:
             wxc = wyc = xsrc = xdst = vcache_x = meta_x = cnt_x = None
-            diag["clique_overflow"] = psum(bins.halo_overflow)
+            diag["clique_overflow"] = psum(halo_ovf)
 
             def xch(k):
                 return zeros_cl
-        clq = cliques.CliqueOperator(wx=cwx, wy=cwy, bins=bins, wxc=wxc,
+        clq = cliques.CliqueOperator(wx=cwx, wy=cwy, halo_src=hs_map, wxc=wxc,
                                      wyc=wyc, src=xsrc, dst=xdst)
         # 10. density (simulation.rs:2204): clique sum + cross row 3 + boundary
         rho_s = den_cl + xch(3) + bdens_s
@@ -398,7 +399,7 @@ def single_step_tiles(state: FluidState, params: SimulationParams, tcfg: TileCon
         visc_x = visc_y = zeros_cl
         if visc_stream:
             visc_x, visc_y = cliques.clique_visc(
-                tcfg, bins, st, vx_s, vy_s, rho_s, pscale, vm,
+                tcfg, hs_map, st, vx_s, vy_s, rho_s, pscale, vm,
                 params.viscosity)
             if multi:
                 vxx, vyy = visc_matvec(vcache_x, meta_x, cnt_x, rho_s, tcfg.tq)

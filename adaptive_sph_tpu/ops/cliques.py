@@ -36,26 +36,26 @@ import jax
 import jax.numpy as jnp
 
 from . import kernels
-from .tiles import PATCH_SLOTS, TileBins, TileConfig
+from .tiles import PATCH_SLOTS, TileConfig
 
 PS = PATCH_SLOTS
 
 
-def halo_rows(bins: TileBins, table):
+def halo_rows(halo_src, table):
     """Gather halo rows of a sorted (C, k) table: row s of the result is the
     table row of patch (s // 128)'s halo entry s % 128 (zeros where absent)."""
     C = table.shape[0]
-    safe = jnp.minimum(bins.halo_src, C - 1)
+    safe = jnp.minimum(halo_src, C - 1)
     out = table[safe]
-    return jnp.where((bins.halo_src < C)[:, None], out, 0.0)
+    return jnp.where((halo_src < C)[:, None], out, 0.0)
 
 
-def _cand(bins: TileBins, cols):
+def _cand(halo_src, cols):
     """Candidate tables from (C,) channels: list of (NB, 256) [own | halo]."""
     C = cols[0].shape[0]
     NB = C // PS
     tab = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
-    hal = halo_rows(bins, tab)
+    hal = halo_rows(halo_src, tab)
     outs = []
     for k in range(len(cols)):
         outs.append(jnp.concatenate(
@@ -69,7 +69,7 @@ class CliqueOperator:
 
     wx: jnp.ndarray          # (NB, 256, 128) wdtype
     wy: jnp.ndarray
-    bins: TileBins
+    halo_src: jnp.ndarray    # (C,) from tiles.build_halo
     wxc: jnp.ndarray = None  # (NX, 64, 128) cross-level blocks
     wyc: jnp.ndarray = None
     src: jnp.ndarray = None  # (NX, 64) candidate slots of each cross block
@@ -77,7 +77,7 @@ class CliqueOperator:
     cross_overflow: jnp.ndarray = None
 
     def _cand_vals(self, cols):
-        return _cand(self.bins, cols)
+        return _cand(self.halo_src, cols)
 
     def _einsum(self, w, v):
         return jnp.einsum("bsl,bs->bl", w, v,
@@ -112,12 +112,12 @@ class CliqueOperator:
         return s.reshape(C)
 
 
-def _pair_terms(cfg: TileConfig, bins: TileBins, st, scale):
+def _pair_terms(cfg: TileConfig, halo_src, st, scale):
     """Shared geometry of one clique pair pass. Returns (q, c, geom) where
     query channels are (NB, 1, 128), candidate channels (NB, 256, 1)."""
     C = st.shape[0]
     NB = C // PS
-    hal = halo_rows(bins, st[:, 0:4])  # ONE row gather of the statics
+    hal = halo_rows(halo_src, st[:, 0:4])  # ONE row gather of the statics
 
     def q_(col):
         return st[:, col].reshape(NB, 1, PS)
@@ -150,7 +150,7 @@ def _w_and_gmag(r2, h_ij):
     return w, jnp.where(q > 1.0e-5, mag / r, 0.0)
 
 
-def clique_build(cfg: TileConfig, bins: TileBins, st, scale, wdtype):
+def clique_build(cfg: TileConfig, halo_src, st, scale, wdtype):
     """ONE vectorized pair pass over all patches: same-level weight blocks +
     a_ii gradient sums + density fluid sum (the clique analogue of the fused
     mega builder, pallas_matvec.build_weight_cache_prep with fuse_density).
@@ -158,7 +158,7 @@ def clique_build(cfg: TileConfig, bins: TileBins, st, scale, wdtype):
     Returns (wx, wy, s1x, s1y, s1sq, den): blocks (NB, 256, 128) in wdtype,
     per-particle sums (C,) f32 in sorted-slot order.
     """
-    g = _pair_terms(cfg, bins, st, scale)
+    g = _pair_terms(cfg, halo_src, st, scale)
     w_val, gmag = _w_and_gmag(g["r2"], g["h_ij"])
     den_t = jnp.where(g["valid"], g["cm"] * w_val, 0.0)
     gg = jnp.where(g["valid"], g["cm"] * gmag, 0.0)
@@ -174,14 +174,14 @@ def clique_build(cfg: TileConfig, bins: TileBins, st, scale, wdtype):
     return wx.astype(wdtype), wy.astype(wdtype), s1x, s1y, s1sq, den
 
 
-def clique_visc(cfg: TileConfig, bins: TileBins, st, vx, vy, rho, scale,
+def clique_visc(cfg: TileConfig, halo_src, st, vx, vy, rho, scale,
                 visc_mode: str, viscosity: float):
     """Same-level viscosity pair sums (simulation.rs:929-1005): a second pure-
     XLA pair pass once rho exists (reference stage order: density, then the
     non-pressure kick). Returns (ax, ay) (C,) f32 sorted-slot sums."""
-    g = _pair_terms(cfg, bins, st, scale)
+    g = _pair_terms(cfg, halo_src, st, scale)
     NB, C = g["NB"], g["C"]
-    cvx, cvy, crho = _cand(bins, [vx, vy, rho])
+    cvx, cvy, crho = _cand(halo_src, [vx, vy, rho])
     cvx = cvx.reshape(NB, 2 * PS, 1)
     cvy = cvy.reshape(NB, 2 * PS, 1)
     crho = crho.reshape(NB, 2 * PS, 1)

@@ -181,12 +181,8 @@ class TileBins:
     level_overflow : () int32 — alive particles above the top populated level
 
     Patch mode only (None otherwise):
-    halo_src   : (C,) int32 — for occupied patch o, halo_src[PATCH_SLOTS*o + r]
-                 = sorted SLOT of its r-th same-level halo particle (ring of 1
-                 cell around the patch); C where absent/dead
-    n_patches  : () int32 — occupied patches
-    halo_overflow : () int32 — halo entries dropped (patch ring fuller than
-                 PATCH_SLOTS): lost pairs, the runner must re-pick the layout
+    n_patches  : () int32 — occupied patches (the halo map itself is built by
+                 build_halo from the sorted statics)
     """
 
     perm: jnp.ndarray
@@ -196,9 +192,7 @@ class TileBins:
     n_padded: jnp.ndarray
     overflow: jnp.ndarray
     level_overflow: jnp.ndarray
-    halo_src: jnp.ndarray = None
     n_patches: jnp.ndarray = None
-    halo_overflow: jnp.ndarray = None
 
 
 PATCH_SLOTS = 128  # slots per occupied patch in the patch-major layout (and
@@ -324,20 +318,12 @@ _DIRS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
 
 def _pad_patches(cfg: TileConfig, gs, src, alive_s, iota, hm, level_overflow,
                  total_cells):
-    """Patch-mode tail of build_tiles: pad the sorted array to PATCH_SLOTS slots
-    per occupied patch and build the per-patch same-level halo slot map.
-
-    All pure XLA on the fixed (C//PATCH_SLOTS, PATCH_SLOTS) row structure:
-    segment ranks via per-row cumsums, neighbor lookups via tiny (rows, 8)
-    gathers — no extra sorts and no (C,)-sized gathers.
-    """
+    """Patch-mode tail of build_tiles: pad the sorted array to PATCH_SLOTS
+    slots per occupied patch (the halo map is built separately by build_halo,
+    which needs the sorted positions). Pure XLA: segment ranks via one
+    associative scan, destinations via one scatter."""
     C = gs.shape[0]
-    PS = cfg.patch
-    P2 = PS * PS
-    NB = C // PATCH_SLOTS
-    NL = len(cfg.populated)
-    poffs, TOTP = cfg.patch_offsets
-    coffs, _ = cfg.cell_offsets
+    P2 = cfg.patch * cfg.patch
 
     # ---- pad each occupied patch to PATCH_SLOTS slots
     pg = gs // P2  # patch-global id per sorted entry (garbage where dead)
@@ -356,7 +342,6 @@ def _pad_patches(cfg: TileConfig, gs, src, alive_s, iota, hm, level_overflow,
     perm = jnp.full((C,), C, jnp.int32).at[drop].set(src, mode="drop")
     pp = jnp.full((C,), C, jnp.int32).at[jnp.where(ok, src, C)].set(
         d, mode="drop")
-    g_p = jnp.full((C,), total_cells, jnp.int32).at[drop].set(gs, mode="drop")
 
     # CSR over padded slots: padding between patches implicitly extends the
     # previous patch's last occupied cell (walk kernels mask padding by h == 0)
@@ -367,60 +352,116 @@ def _pad_patches(cfg: TileConfig, gs, src, alive_s, iota, hm, level_overflow,
     starts = starts.at[total_cells].min(n_padded)
     starts = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(starts)))
 
-    # ---- per padded slot: patch-local cell coords (elementwise from g_p)
-    real = g_p < total_cells
-    bounds = [coffs[l] for l in cfg.populated] + [total_cells]
-    lvl_pos = jnp.zeros((C,), jnp.int32)
-    for p in range(1, NL):
-        lvl_pos = lvl_pos + (g_p >= bounds[p]).astype(jnp.int32)
-    sel = lambda arr: sum(  # noqa: E731  tiny static-table select
-        jnp.where(lvl_pos == p, jnp.int32(arr[p]), 0) for p in range(NL))
-    coff_s = sel([coffs[l] for l in cfg.populated])
-    poff_s = sel([poffs[l] for l in cfg.populated])
+    return TileBins(
+        perm=perm,
+        pp=pp,
+        cell_starts=starts,
+        h_max_lvl=hm,
+        n_padded=n_padded,
+        overflow=overflow,
+        level_overflow=level_overflow,
+        n_patches=n_patches,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_halo(cfg: TileConfig, bins: TileBins, statics_sorted, origin=None):
+    """Per-patch same-level halo slot map from the padded sorted statics.
+
+    Returns (halo_src (C,) int32, halo_overflow () int32): for occupied patch
+    o, halo_src[PATCH_SLOTS*o + r] is the sorted SLOT of its r-th same-level
+    halo particle; C where absent. Membership: a particle j joins the halo of
+    adjacent patch b iff j sits in an edge cell toward b AND is within
+    rad_j = 0.5*mscale*(h_j + h_max_level) of b's rectangle — the rect test
+    keeps the exact pair superset (dist(j, rect_b) <= |x_i - x_j| for i in b)
+    while roughly halving the ring occupancy vs whole ring cells.
+
+    All pure XLA on the fixed (C//PATCH_SLOTS, PATCH_SLOTS) row structure:
+    per-row cumsum ranks + tiny (rows, 8) neighbor lookups; no sorts and no
+    (C,)-sized gathers.
+    """
+    PS = cfg.patch
+    C = statics_sorted.shape[0]
+    NB = C // PATCH_SLOTS
+    NL = len(cfg.populated)
+    poffs, TOTP = cfg.patch_offsets
+    if origin is None:
+        ox, oy = cfg.origin
+        ox = jnp.float32(ox)
+        oy = jnp.float32(oy)
+    else:
+        ox, oy = origin[0].astype(jnp.float32), origin[1].astype(jnp.float32)
+
+    x = statics_sorted[:, 0]
+    y = statics_sorted[:, 1]
+    h = statics_sorted[:, 2]
+    real = h > 0.0
+    iota = jnp.arange(C, dtype=jnp.int32)
+
+    # level position from h (same ladder snap as build_tiles)
+    ratio = jnp.maximum(h * jnp.float32(cfg.mscale) / cfg.cell0, 1.0)
+    lvl = jnp.ceil(jnp.log2(ratio) - 1e-6).astype(jnp.int32)
+    pop = jnp.asarray(cfg.populated, jnp.int32)
+    lvl_pos = jnp.clip(jnp.sum(lvl[:, None] > pop[None, :], axis=1), 0, NL - 1)
+
+    sel = lambda arr, t=jnp.int32: sum(  # noqa: E731  tiny static select
+        jnp.where(lvl_pos == p, t(arr[p]), t(0)) for p in range(NL))
+    cell_s = sel([cfg.cell(l) for l in cfg.populated], jnp.float32)
     npx_s = sel([cfg.patch_dims(l)[1] for l in cfg.populated])
     npy_s = sel([cfg.patch_dims(l)[0] for l in cfg.populated])
-    rel = g_p - coff_s
-    pidx = rel // P2
-    lc = rel - pidx * P2
-    pcy = lc // PS
-    pcx = lc - pcy * PS
-    pid = poff_s + pidx
+    poff_s = sel([poffs[l] for l in cfg.populated])
+    hml = bins.h_max_lvl[lvl_pos]  # (C,) per-level h max (tiny gather)
 
-    # ---- per-row (occupied patch) metadata
+    psz = cell_s * PS  # patch side in world units
+    fx = (x - ox) / cell_s
+    fy = (y - oy) / cell_s
+    cx = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, npx_s * PS - 1)
+    cy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, npy_s * PS - 1)
+    px = cx // PS
+    py = cy // PS
+    pid = poff_s + py * npx_s + px
+    rad = 0.5 * jnp.float32(cfg.mscale) * (h + hml)
+
+    # per-row (occupied patch) metadata from slot 0 (always real)
     rows = jnp.arange(NB, dtype=jnp.int32)
-    real_row = real.reshape(NB, PATCH_SLOTS)
-    row_occ = real_row[:, 0]  # slot 0 of an occupied patch is always real
-    pid_row = jnp.where(row_occ, pid.reshape(NB, PATCH_SLOTS)[:, 0], TOTP)
-    px_row = (pidx - (pidx // npx_s) * npx_s).reshape(NB, PATCH_SLOTS)[:, 0]
-    py_row = (pidx // npx_s).reshape(NB, PATCH_SLOTS)[:, 0]
-    npx_row = npx_s.reshape(NB, PATCH_SLOTS)[:, 0]
-    npy_row = npy_s.reshape(NB, PATCH_SLOTS)[:, 0]
-    # patch-id -> occupied row index (NB = unoccupied)
+    row0 = lambda a: a.reshape(NB, PATCH_SLOTS)[:, 0]  # noqa: E731
+    row_occ = row0(real)
+    pid_row = jnp.where(row_occ, row0(pid), TOTP)
+    px_row, py_row = row0(px), row0(py)
+    npx_row, npy_row = row0(npx_s), row0(npy_s)
     po = jnp.full((TOTP + 1,), NB, jnp.int32).at[pid_row].set(rows, mode="drop")
 
-    # ---- halo membership per direction (edge/corner cells of the patch)
     halo_src = jnp.full((C,), C, jnp.int32)
     halo_overflow = jnp.int32(0)
-    o_dest = []
-    cnt_d = []
-    member_d = []
+    o_dest, cnt_d, member_d = [], [], []
     for dy, dx in _DIRS:
         m = real
+        # prefilter: edge cell toward the neighbor...
         if dx < 0:
-            m = m & (pcx == 0)
+            m = m & (cx % PS == 0)
         elif dx > 0:
-            m = m & (pcx == PS - 1)
+            m = m & (cx % PS == PS - 1)
         if dy < 0:
-            m = m & (pcy == 0)
+            m = m & (cy % PS == 0)
         elif dy > 0:
-            m = m & (pcy == PS - 1)
+            m = m & (cy % PS == PS - 1)
+        # ...AND within rad of the neighbor patch's rectangle (exact superset:
+        # the axis gap to the dest rect lower-bounds any pair distance into it)
+        gapx = jnp.float32(0.0) if dx == 0 else (
+            ((px + 1) * PS).astype(jnp.float32) - fx if dx > 0
+            else fx - (px * PS).astype(jnp.float32))
+        gapy = jnp.float32(0.0) if dy == 0 else (
+            ((py + 1) * PS).astype(jnp.float32) - fy if dy > 0
+            else fy - (py * PS).astype(jnp.float32))
+        gap2 = (gapx * gapx + gapy * gapy) * cell_s * cell_s
+        m = m & (gap2 < rad * rad)
         vr = row_occ & (py_row + dy >= 0) & (py_row + dy < npy_row) \
             & (px_row + dx >= 0) & (px_row + dx < npx_row)
         od = jnp.where(vr, po[jnp.clip(pid_row + dy * npx_row + dx, 0, TOTP)],
                        NB)
-        o_dest.append(od)  # (NB,)
-        mr = m.reshape(NB, PATCH_SLOTS)
-        cnt_d.append(jnp.sum(mr.astype(jnp.int32), axis=1))
+        o_dest.append(od)
+        cnt_d.append(jnp.sum(m.reshape(NB, PATCH_SLOTS).astype(jnp.int32),
+                             axis=1))
         member_d.append(m)
     o_dest = jnp.stack(o_dest, axis=1)   # (NB, 8) dest row per direction
     cnt = jnp.stack(cnt_d, axis=1)       # (NB, 8) members leaving per dir
@@ -436,29 +477,16 @@ def _pad_patches(cfg: TileConfig, gs, src, alive_s, iota, hm, level_overflow,
     base_at_src = base[jnp.where(o_dest < NB, o_dest, NB), dcol]  # (NB, 8)
 
     for di in range(8):
-        m = member_d[di]
-        mr = m.reshape(NB, PATCH_SLOTS).astype(jnp.int32)
+        mr = member_d[di].reshape(NB, PATCH_SLOTS).astype(jnp.int32)
         rank = (jnp.cumsum(mr, axis=1) - mr).reshape(C)
         off = jnp.repeat(base_at_src[:, di], PATCH_SLOTS) + rank
         odp = jnp.repeat(o_dest[:, di], PATCH_SLOTS)
-        valid = m & (odp < NB) & (off < PATCH_SLOTS)
+        valid = member_d[di] & (odp < NB) & (off < PATCH_SLOTS)
         halo_overflow = halo_overflow + jnp.sum(
-            m & (odp < NB) & (off >= PATCH_SLOTS)).astype(jnp.int32)
+            member_d[di] & (odp < NB) & (off >= PATCH_SLOTS)).astype(jnp.int32)
         hs = odp * PATCH_SLOTS + off
         halo_src = halo_src.at[jnp.where(valid, hs, C)].set(iota, mode="drop")
-
-    return TileBins(
-        perm=perm,
-        pp=pp,
-        cell_starts=starts,
-        h_max_lvl=hm,
-        n_padded=n_padded,
-        overflow=overflow,
-        level_overflow=level_overflow,
-        halo_src=halo_src,
-        n_patches=n_patches,
-        halo_overflow=halo_overflow,
-    )
+    return halo_src, halo_overflow
 
 
 def sort_fields(bins: TileBins, fields, fill=0.0):

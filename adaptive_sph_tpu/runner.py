@@ -352,14 +352,17 @@ def _initial_max_occupancy(state, params, gcfg, host=None) -> int:
     return occ
 
 
-def _tile_patch(state, params, gcfg, capacity: int, tq: int, host=None) -> int:
-    """Pick the clique patch side (cells) for the patch-major layout, 0 = off.
+def _tile_patch(state, params, gcfg, capacity: int, tq: int, host=None):
+    """Pick the clique patch side (cells) for the patch-major layout.
 
-    Enabled when the scene's per-patch and per-ring occupancies fit the 128
-    slot budgets with headroom and the padded layout fits the capacity (see
-    ops/cliques.py). Resampling configs stay on the legacy layout for now
-    (levels shift every step; ASPH_CLIQUE=force overrides), as do
-    Winchenbach2020 / resident-solver configs (tile_step gates them out).
+    Returns (P, need): P = 0 when no patch side fits the per-patch/per-ring
+    128-slot budgets with headroom; need = padded slots the layout wants
+    (callers compare against / pre-grow the capacity). Ring membership matches
+    ops/tiles.build_halo: edge cell toward the neighbor AND within
+    0.5*mscale*(h_j + h_max_level) of the neighbor patch's rectangle.
+    Resampling configs stay on the legacy layout for now (levels shift every
+    step; ASPH_CLIQUE=force overrides), as do Winchenbach2020 /
+    resident-solver configs (tile_step gates them out).
     """
     from .models.grid_step import max_scale
     from .models.state import h_from_mass_np
@@ -367,24 +370,24 @@ def _tile_patch(state, params, gcfg, capacity: int, tq: int, host=None) -> int:
 
     mode = os.environ.get("ASPH_CLIQUE", "1")
     if mode == "0" or tq != 128 or capacity % 128 != 0:
-        return 0
+        return 0, 0
     if params.operator_discretization == OperatorDiscretization.Winchenbach2020:
-        return 0
+        return 0, 0
     if params.resident_solver or os.environ.get("ASPH_RESIDENT_SOLVER") == "1":
-        return 0
+        return 0, 0
     if os.environ.get("ASPH_NO_WCACHE") == "1":
-        return 0
+        return 0, 0
     adaptive_resample = params.particle_sizes == ParticleSizes.Adaptive and (
         params.splitting or params.merging or params.sharing)
     if adaptive_resample and mode != "force":
-        return 0
+        return 0, 0
 
     if host is None:
         host = dict(zip(("mass", "position", "alive"),
                         jax.device_get((state.mass, state.position, state.alive))))
     pos = host["position"][host["alive"]]
     if len(pos) == 0:
-        return 0
+        return 0, 0
     if params.particle_sizes == ParticleSizes.Uniform:
         h = np.full(len(pos), params.h, np.float32)
     else:
@@ -393,44 +396,56 @@ def _tile_patch(state, params, gcfg, capacity: int, tq: int, host=None) -> int:
     level = np.clip(
         np.ceil(np.log2(np.maximum(sr / gcfg.cell0, 1.0)) - 1e-6).astype(int),
         0, gcfg.levels - 1)
-    HEADROOM = 1.35  # compression margin over the initial occupancies
+    DIRS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+            (1, 1))
+    HEADROOM = 1.3  # compression margin over the initial occupancies
     for P in (8, 6, 5, 4, 3, 2):
         ok = True
         n_patches = 0
         for l in np.unique(level):
             sel = level == l
             cell = gcfg.cell(int(l))
-            cx = np.floor((pos[sel, 0] - gcfg.origin[0]) / cell).astype(np.int64)
-            cy = np.floor((pos[sel, 1] - gcfg.origin[1]) / cell).astype(np.int64)
-            key = (cx // P) + ((cy // P) << 24)
+            fx = (pos[sel, 0] - gcfg.origin[0]) / cell
+            fy = (pos[sel, 1] - gcfg.origin[1]) / cell
+            cx = np.floor(fx).astype(np.int64)
+            cy = np.floor(fy).astype(np.int64)
+            px, py = cx // P, cy // P
+            key = px + (py << 24)
             pk, counts = np.unique(key, return_counts=True)
             n_patches += len(pk)
             if counts.max() * HEADROOM > 128:
                 ok = False
                 break
-            # ring occupancy: per occupied patch, particles in the 1-cell ring
-            cellmap = {}
-            ck = cx + (cy << 24)
-            for k, c in zip(*np.unique(ck, return_counts=True)):
-                cellmap[int(k)] = int(c)
-            for k in pk:
-                px, py = int(k & 0xFFFFFF), int(k >> 24)
-                ring = 0
-                x0, y0 = px * P - 1, py * P - 1
-                for xx in range(x0, x0 + P + 2):
-                    ring += cellmap.get(xx + (y0 << 24), 0)
-                    ring += cellmap.get(xx + ((y0 + P + 1) << 24), 0)
-                for yy in range(y0 + 1, y0 + P + 1):
-                    ring += cellmap.get(x0 + (yy << 24), 0)
-                    ring += cellmap.get((x0 + P + 1) + (yy << 24), 0)
-                if ring * HEADROOM > 128:
-                    ok = False
-                    break
-            if not ok:
+            # ring occupancy per dest patch (build_halo membership semantics)
+            hl = h[sel]
+            rad_c = 0.5 * max_scale(params) * (hl + hl.max()) / cell
+            occupied = set(int(k) for k in pk)
+            acc = {}
+            for dy, dx in DIRS:
+                m = np.ones(len(hl), bool)
+                if dx < 0:
+                    m &= cx % P == 0
+                elif dx > 0:
+                    m &= cx % P == P - 1
+                if dy < 0:
+                    m &= cy % P == 0
+                elif dy > 0:
+                    m &= cy % P == P - 1
+                gapx = np.zeros(len(hl)) if dx == 0 else (
+                    (px + 1) * P - fx if dx > 0 else fx - px * P)
+                gapy = np.zeros(len(hl)) if dy == 0 else (
+                    (py + 1) * P - fy if dy > 0 else fy - py * P)
+                m &= gapx * gapx + gapy * gapy < rad_c * rad_c
+                dk = (px + dx) + ((py + dy) << 24)
+                for k, c in zip(*np.unique(dk[m], return_counts=True)):
+                    if int(k) in occupied:
+                        acc[int(k)] = acc.get(int(k), 0) + int(c)
+            if acc and max(acc.values()) * HEADROOM > 128:
+                ok = False
                 break
-        if ok and n_patches * 128 * 1.25 <= capacity:
-            return P
-    return 0
+        if ok:
+            return P, int(np.ceil(n_patches * 128 * 1.1 / 1024) * 1024)
+    return 0, 0
 
 
 def _tile_tq(state, params, gcfg, host=None) -> int:
@@ -540,6 +555,22 @@ def create_simulation(
     if backend == "auto":
         backend = "tiles" if supports_tile_backend(params) else "lists"
 
+    if backend == "tiles" and capacity is None:
+        # patch-major layouts pad each occupied patch to 128 slots; when the
+        # clique-viable layout ALMOST fits, pre-grow the capacity once here
+        # instead of paying an overflow-retry recompile on the first step
+        gcfg_pre = grid_config_for(params, scene, state, state.capacity,
+                                   host=host)
+        tq_pre = _tile_tq(state, params, gcfg_pre, host=host)
+        p_pre, need = _tile_patch(state, params, gcfg_pre, state.capacity,
+                                  tq_pre, host=host)
+        if p_pre and state.capacity < need <= 3 * state.capacity:
+            state = pad_state_to(state, need)
+            for k in host:
+                pad = np.zeros((need - len(host[k]),) + host[k].shape[1:],
+                               host[k].dtype)
+                host[k] = np.concatenate([host[k], pad])
+
     if split_patterns is None and params.particle_sizes == ParticleSizes.Adaptive and (
         params.splitting
     ):
@@ -587,8 +618,13 @@ def _compile_step(params, scene, state, backend, boundary_handler, split_pattern
         assert state.capacity % 64 == 0, "tile backend needs capacity % 64 == 0"
         gcfg = grid_config_for(params, scene, state, state.capacity, host=host)
         tq = _tile_tq(state, params, gcfg, host=host)
-        patch = 0 if no_patch else _tile_patch(
-            state, params, gcfg, state.capacity, tq, host=host)
+        if no_patch:
+            patch = 0
+        else:
+            patch, need = _tile_patch(
+                state, params, gcfg, state.capacity, tq, host=host)
+            if need > state.capacity:
+                patch = 0  # create_simulation pre-grows; mid-run keep legacy
         tile_cfg = TileConfig.from_grid(gcfg, max_scale(params), tq=tq,
                                         patch=patch)
         # the CSR cell_starts, the per-tile range descriptors, and the packed

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from adaptive_sph_tpu.ops.grid import make_grid_config
 from adaptive_sph_tpu.ops.tiles import (
-    PATCH_SLOTS, TileConfig, build_tiles, sort_fields, window_ranges,
+    PATCH_SLOTS, TileConfig, build_halo, build_tiles, sort_fields,
+    window_ranges,
 )
 
 
@@ -68,7 +69,6 @@ def test_patch_layout_pair_coverage(seed, n, C, two):
         p, hh * jnp.float32(cfg.mscale), hh, a, cfg), static_argnums=())(
         jnp.asarray(pos), jnp.asarray(np.where(alive, h, 0)), jnp.asarray(alive))
     assert int(bins.overflow) == 0, "patch fuller than PATCH_SLOTS"
-    assert int(bins.halo_overflow) == 0, "halo ring fuller than PATCH_SLOTS"
     assert int(bins.level_overflow) == 0
 
     perm = np.asarray(bins.perm)
@@ -95,13 +95,17 @@ def test_patch_layout_pair_coverage(seed, n, C, two):
     ]))())
     assert (st[~real, 2] == 0).all()
 
+    halo_j, halo_ovf = jax.jit(lambda s: build_halo(cfg, bins, s))(
+        jnp.asarray(st))
+    assert int(halo_ovf) == 0, "halo ring fuller than PATCH_SLOTS"
+
     # level of each real slot (same ladder as build_tiles)
     sr = np.where(alive, h, 0) * cfg.mscale
     lev = np.ceil(np.log2(np.maximum(sr / cfg.cell0, 1.0)) - 1e-6).astype(int)
     pops = np.asarray(cfg.populated)
     lev = pops[np.minimum(np.searchsorted(pops, lev, "left"), len(pops) - 1)]
 
-    halo = np.asarray(bins.halo_src)
+    halo = np.asarray(halo_j)
     pairs = _brute_pairs(pos, np.where(alive, h, 0), alive, scale)
 
     # EXACT same-level coverage: for every interacting same-level pair (i, j),
@@ -164,10 +168,12 @@ def _sorted_setup(seed, n, C, two, scale=2.0, patch=4):
     bins = jax.jit(lambda p, hh, a: build_tiles(
         p, hh * jnp.float32(cfg.mscale), hh, a, cfg))(
         jnp.asarray(pos), hj, jnp.asarray(alive))
-    assert int(bins.overflow) == 0 and int(bins.halo_overflow) == 0
+    assert int(bins.overflow) == 0
     st = jax.jit(lambda: sort_fields(bins, [
         jnp.asarray(pos), hj, jnp.asarray(mass)]))()
-    return cfg, bins, st
+    halo_src, halo_ovf = jax.jit(lambda s: build_halo(cfg, bins, s))(st)
+    assert int(halo_ovf) == 0
+    return cfg, bins, st, halo_src
 
 
 def test_clique_build_matches_bruteforce_sums():
@@ -175,9 +181,9 @@ def test_clique_build_matches_bruteforce_sums():
     from adaptive_sph_tpu.ops.pallas_sweeps import SweepOp, sweep_bruteforce
 
     scale = 2.0
-    cfg, bins, st = _sorted_setup(3, 900, 4096, two=False)
+    cfg, bins, st, halo_src = _sorted_setup(3, 900, 4096, two=False)
     wx, wy, s1x, s1y, s1sq, den = jax.jit(
-        lambda: cliques.clique_build(cfg, bins, st, scale, jnp.float32))()
+        lambda: cliques.clique_build(cfg, halo_src, st, scale, jnp.float32))()
 
     def emit(q, c, ctx):
         gx, gy = ctx.gx, ctx.gy
@@ -200,10 +206,10 @@ def test_clique_matvec_matches_bruteforce_two_level():
     from adaptive_sph_tpu.ops.pallas_sweeps import SweepOp, sweep_bruteforce
 
     scale = 2.0
-    cfg, bins, st = _sorted_setup(4, 900, 4096, two=True)
+    cfg, bins, st, halo_src = _sorted_setup(4, 900, 4096, two=True)
     C = cfg.capacity
     wx, wy, s1x, s1y, s1sq, den = jax.jit(
-        lambda: cliques.clique_build(cfg, bins, st, scale, jnp.float32))()
+        lambda: cliques.clique_build(cfg, halo_src, st, scale, jnp.float32))()
 
     # cross-level blocks via the streamed builder on cross_only ranges
     wm_cross, _ = jax.jit(
@@ -216,8 +222,8 @@ def test_clique_matvec_matches_bruteforce_two_level():
     wxc, wyc, src, dst, xovf = jax.jit(
         lambda: cliques.cross_pack(wc, meta, cnt, cfg.tq, 64))()
     assert int(xovf) == 0
-    op = cliques.CliqueOperator(wx=wx, wy=wy, bins=bins, wxc=wxc, wyc=wyc,
-                                src=src, dst=dst)
+    op = cliques.CliqueOperator(wx=wx, wy=wy, halo_src=halo_src, wxc=wxc,
+                                wyc=wyc, src=src, dst=dst)
 
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(C).astype(np.float32))
@@ -264,7 +270,7 @@ def test_clique_visc_matches_bruteforce():
     from adaptive_sph_tpu.utils.params import SimulationParams, ViscosityType
 
     scale = 2.0
-    cfg, bins, st = _sorted_setup(5, 900, 4096, two=False)
+    cfg, bins, st, halo_src = _sorted_setup(5, 900, 4096, two=False)
     C = cfg.capacity
     rng = np.random.default_rng(1)
     vx = jnp.asarray(rng.standard_normal(C).astype(np.float32))
@@ -274,7 +280,7 @@ def test_clique_visc_matches_bruteforce():
                      (ViscosityType.ApproxLaplace, "laplace")):
         params = SimulationParams(viscosity_type=vt, viscosity=0.02)
         ax, ay = jax.jit(lambda m=mode: cliques.clique_visc(
-            cfg, bins, st, vx, vy, rho, scale, m, 0.02))()
+            cfg, halo_src, st, vx, vy, rho, scale, m, 0.02))()
         ref = np.asarray(sweep_bruteforce(
             cfg, st, jnp.stack([rho, vx, vy], axis=1), tp.visc_op(params),
             scale))
