@@ -368,7 +368,11 @@ def _tile_patch(state, params, gcfg, capacity: int, tq: int, host=None):
     from .models.state import h_from_mass_np
     from .utils.params import OperatorDiscretization
 
-    mode = os.environ.get("ASPH_CLIQUE", "1")
+    # Default OFF: the first clique-path hardware measurement (2026-08-20,
+    # /tmp/bench_clique.log) read 132 ms/step vs 2.0 ms streamed — until the
+    # regression is diagnosed and beaten, the proven streamed path stays the
+    # production default. Opt in with ASPH_CLIQUE=1/force.
+    mode = os.environ.get("ASPH_CLIQUE", "0")
     if mode == "0" or tq != 128 or capacity % 128 != 0:
         return 0, 0
     if params.operator_discretization == OperatorDiscretization.Winchenbach2020:

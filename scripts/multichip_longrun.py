@@ -39,11 +39,14 @@ def reexec(args):
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if "xla_force_host_platform_device_count" not in f]
     flags.append(f"--xla_force_host_platform_device_count={args.n_devices}")
-    # 8 virtual-device threads on a 1-core box: the first-collective-call
-    # rendezvous (hard default 40 s) aborts the process under any competing
-    # load before all 8 threads arrive — raise both timeouts
-    flags.append("--xla_gpu_first_collective_call_warn_stuck_timeout_seconds=300")
-    flags.append("--xla_gpu_first_collective_call_terminate_timeout_seconds=1200")
+    # 8 virtual-device threads on a 1-core box: the collective rendezvous
+    # (default 20 s warn / 40 s terminate, xla/service/rendezvous.cc) aborts
+    # the whole process under any competing load before all 8 partition
+    # threads get scheduled — raise the CPU-backend timeouts (the gpu-named
+    # variants are no-ops for cpu thunks)
+    flags.append("--xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+    flags.append("--xla_cpu_collective_call_terminate_timeout_seconds=7200")
+    flags.append("--xla_cpu_collective_timeout_seconds=7200")
     env["XLA_FLAGS"] = " ".join(flags)
     env["_ASPH_LONGRUN_INNER"] = "1"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/asph_jax_cache")
