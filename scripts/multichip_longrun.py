@@ -163,6 +163,11 @@ def main(args):
         "wall_s": time.perf_counter() - t0,
         "platform": "cpu-interpret",
     }
+    if n0 < 50_000:
+        out["note"] = (
+            f"scale tradeoff: spacing={args.spacing} -> n0={n0} (<50k spec); "
+            "interpret-mode CPU cost made 50k x 200 steps infeasible on this "
+            "1-core box; full step count kept instead (VERDICT r4 item 5)")
     with open(os.path.join(ROOT, "MULTICHIP_LONGRUN.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)

@@ -6,7 +6,8 @@ and the cost is taken as the DIFFERENTIAL between a long and a short scan:
 one dispatch through the axon tunnel costs ~30 ms of host latency, which
 divided by a fixed iteration count masquerades as a ~0.6 ms/iter floor (the
 round-2 profile suffered exactly this).
-Usage: python scripts/tile_timing.py
+Usage: python scripts/tile_timing.py [replicas] [--fast]
+(--fast skips the resident/hybrid solver sections and the cold-start variant)
 """
 
 import sys
@@ -31,7 +32,9 @@ def main():
     from adaptive_sph_tpu.ops.pallas_sweeps import run_sweep
     from adaptive_sph_tpu.ops.tiles import build_tiles, sort_fields, unsort, window_meta
 
-    sim = build_sim(replicas=1)
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1
+    fast = "--fast" in sys.argv
+    sim = build_sim(replicas=replicas)
     st, params, tcfg = sim.state, sim.params, sim.tile_cfg
     print(f"tcfg: C={tcfg.capacity} tq={tcfg.tq} levels={tcfg.populated} "
           f"b_max={tcfg.b_max} n={int(st.n)}")
@@ -135,6 +138,16 @@ def main():
     aii1 = jnp.where(alive1, -1.0, 0.0)
     src1 = jnp.where(alive1, -0.05, 0.0)
     dt1 = jnp.float32(1e-3)
+
+    if fast:
+        t = scan_time(
+            lambda s: sim.step_fn(s)[0],
+            st,
+            feedback=lambda o: jnp.sum(o.position).astype(jnp.float32) * 0.0,
+            iters=20,
+        )
+        print(f"FULL STEP (scanned):      {t*1000:7.3f} ms")
+        return
 
     def resident_solve(p0, w, m, c):
         # src1 + 0*p0: threads the scan carry through a KERNEL input — without
