@@ -125,7 +125,14 @@ def init_fluid_state(
 
     adaptive = params.particle_sizes == ParticleSizes.Adaptive
     if capacity is None:
-        capacity = default_capacity(positions.shape[0], adaptive)
+        # the 2x resampling headroom only matters when the particle count can
+        # actually grow — splitting is the only count-increasing operation
+        # (splitting.rs:56-58; merge/share only remove or redistribute), so
+        # adaptive-sized but non-splitting configs (e.g. the ratio-stress
+        # bench) take the lean pad: every VMEM table, lane-padded solver
+        # operand and sort is sized by capacity
+        capacity = default_capacity(positions.shape[0],
+                                    adaptive and params.splitting)
 
     return init_state(
         positions, velocities, masses, capacity,

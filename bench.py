@@ -204,6 +204,25 @@ def main():
             f"{key}_vs_baseline": float(n * 192 / el2 / 50e6),
         }
 
+    # large-N entry (VERDICT r4 item 4): per-chip throughput must HOLD at 4x
+    # the reference scene (n~47k) — evidence the lane-padding table ceiling is
+    # gone. Skipped when the headline already runs a non-default replica count.
+    if REPLICAS == 1 and not os.environ.get("ASPH_BENCH_SKIP_X4"):
+        sim4 = build_sim(replicas=4, resident=resident)
+        n4 = sim4.num_fluid_particles
+        sim4.step()
+        sim4.step_chunk(chunk)  # same chunk size as the headline: the ~30 ms
+        t0 = time.perf_counter()  # tunnel dispatch must amortize identically
+        sim4.step_chunk(chunk)
+        el4 = time.perf_counter() - t0
+        other.update(
+            x4_n=n4,
+            x4_updates_per_sec=float(n4 * chunk / el4),
+            x4_vs_baseline=float(n4 * chunk / el4 / 50e6),
+        )
+        if verbose:
+            print(f"x4: {el4/chunk*1000:.2f} ms/step n={n4}", file=sys.stderr)
+
     print(
         json.dumps(
             {

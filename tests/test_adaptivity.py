@@ -6,6 +6,7 @@ class histograms, protocol invariants) rather than bitwise vs the sequential gre
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adaptive_sph_tpu.models import adaptivity as ad
 from adaptive_sph_tpu.models import state as st
@@ -243,3 +244,36 @@ def test_fail_on_missing_split_pattern_raises():
         assert False, "expected SimulationFailed"
     except SimulationFailed as e:
         assert "Missing split pattern" in str(e)
+
+
+def test_split_pattern_generation_and_svg(tmp_path):
+    """generate-split-patterns smoke (splitting.rs:463-548 + the 550-640 SVG
+    debug export): regenerate the smallest patterns and render one SVG."""
+    from adaptive_sph_tpu.ops import kernels
+    from adaptive_sph_tpu.utils.split_patterns import (
+        export_pattern_svg, precalculate_split_pattern)
+
+    for n in (2, 3):
+        p = precalculate_split_pattern(n)
+        assert len(p["pos_s"]) == n and len(p["mass_s"]) == n
+        # mass conservation: children sum to the parent optimal mass
+        parent = float(kernels.radius_to_sphere_volume(1.0, 2))
+        assert abs(sum(p["mass_s"]) - parent) < 1e-6 * parent
+        # children sit inside the parent's kernel support
+        r = np.linalg.norm(np.asarray(p["pos_s"], np.float64), axis=1)
+        h = float(kernels.smoothing_length_from_mass(parent, 1.0, 2))
+        assert float(r.max()) < 2.0 * h
+    path = tmp_path / "split-3.svg"
+    export_pattern_svg(p, str(path))
+    text = path.read_text()
+    assert text.startswith("<svg") and text.count("<circle") == 3 + 2
+
+
+@pytest.mark.slow
+def test_split_pattern_full_regeneration():
+    """The full n=2..8 regeneration the CLI's generate-split-patterns runs,
+    bounded (simulation.rs:2985-2993)."""
+    from adaptive_sph_tpu.utils.split_patterns import generate_split_patterns
+
+    pats = generate_split_patterns(8)
+    assert [len(p["pos_s"]) for p in pats] == list(range(2, 9))
